@@ -1,0 +1,170 @@
+"""Ray–scene intersection.
+
+Replaces the reference's hardware ray tracing (BLAS/TLAS + traceRayEXT,
+reference: src/acceleration_structure.hh, shader/rt.glsl) with TPU-friendly
+data-parallel intersectors:
+
+  * `intersect_bruteforce` — every ray against every triangle, tiled with
+    `lax.scan` so intermediates stay small. Semantic reference + small
+    scenes. Möller–Trumbore with Vulkan-compatible barycentrics
+    (b = (1-u-v, u, v) over corners v0,v1,v2).
+  * `intersect_spheres` — analytic ray/sphere for point-light proxies
+    (replaces rt_common_point_light.rint).
+  * a two-level cluster/BVH path lives in ops/bvh.py.
+
+Planned MXU path (round 2+): Plücker-coordinate tests reformulate
+ray×triangle as (R,6)@(6,3T) matmuls, moving the O(R·T) work from VPU to
+the systolic array.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+# The reference's `float(1e39)` overflows to +inf in fp32, so +inf is the
+# bit-exact equivalent (reference: shader/rt.glsl RAY_MAX_DIST).
+RAY_MAX_DIST = jnp.float32(float("inf"))
+
+
+class TriangleSoup(NamedTuple):
+    """Pre-arranged triangle data for intersection kernels."""
+    v0: jnp.ndarray  # (T, 3)
+    e1: jnp.ndarray  # (T, 3) = v1 - v0
+    e2: jnp.ndarray  # (T, 3) = v2 - v0
+
+    @staticmethod
+    def from_corners(tri_pos) -> "TriangleSoup":
+        tri_pos = jnp.asarray(tri_pos, dtype=jnp.float32)
+        return TriangleSoup(
+            v0=tri_pos[:, 0],
+            e1=tri_pos[:, 1] - tri_pos[:, 0],
+            e2=tri_pos[:, 2] - tri_pos[:, 0])
+
+
+class Hit(NamedTuple):
+    t: jnp.ndarray        # (R,) f32; RAY_MAX_DIST on miss
+    tri_id: jnp.ndarray   # (R,) i32; -1 on miss
+    u: jnp.ndarray        # (R,) f32 barycentric of corner 1
+    v: jnp.ndarray        # (R,) f32 barycentric of corner 2
+
+
+def _mt_tile(o, d, t_min, t_max, v0, e1, e2):
+    """Möller–Trumbore for a (R, 3) ray block × (Tt, 3) triangle tile.
+
+    Returns (t, u, v, hit_mask) with shape (R, Tt)."""
+    h = jnp.cross(d[:, None, :], e2[None, :, :])          # (R, Tt, 3)
+    a = jnp.sum(e1[None, :, :] * h, axis=-1)              # (R, Tt)
+    f = jnp.where(a != 0, 1.0 / jnp.where(a == 0, 1.0, a), 0.0)
+    s = o[:, None, :] - v0[None, :, :]
+    u = f * jnp.sum(s * h, axis=-1)
+    q = jnp.cross(s, e1[None, :, :])
+    v = f * jnp.sum(d[:, None, :] * q, axis=-1)
+    t = f * jnp.sum(e2[None, :, :] * q, axis=-1)
+    hit = (a != 0) & (u >= 0) & (v >= 0) & (u + v <= 1) & \
+        (t >= t_min[:, None]) & (t < t_max[:, None])
+    return t, u, v, hit
+
+
+@partial(jax.jit, static_argnames=("tri_tile", "any_hit"))
+def _intersect_chunk(o, d, t_min, t_max, soup: TriangleSoup,
+                     tri_tile: int = 512, any_hit: bool = False):
+    T = soup.v0.shape[0]
+    n_tiles = T // tri_tile
+
+    def body(carry, tile_idx):
+        best_t, best_id, best_u, best_v = carry
+        off = tile_idx * tri_tile
+        v0 = jax.lax.dynamic_slice_in_dim(soup.v0, off, tri_tile)
+        e1 = jax.lax.dynamic_slice_in_dim(soup.e1, off, tri_tile)
+        e2 = jax.lax.dynamic_slice_in_dim(soup.e2, off, tri_tile)
+        t, u, v, hit = _mt_tile(o, d, t_min, jnp.minimum(t_max, best_t),
+                                v0, e1, e2)
+        t = jnp.where(hit, t, RAY_MAX_DIST)
+        arg = jnp.argmin(t, axis=1)
+        rows = jnp.arange(t.shape[0])
+        cand_t = t[rows, arg]
+        closer = cand_t < best_t
+        best_t = jnp.where(closer, cand_t, best_t)
+        best_id = jnp.where(closer, off + arg, best_id)
+        best_u = jnp.where(closer, u[rows, arg], best_u)
+        best_v = jnp.where(closer, v[rows, arg], best_v)
+        return (best_t, best_id, best_u, best_v), None
+
+    R = o.shape[0]
+    init = (jnp.full(R, RAY_MAX_DIST, jnp.float32),
+            jnp.full(R, -1, jnp.int32),
+            jnp.zeros(R, jnp.float32), jnp.zeros(R, jnp.float32))
+    (t, tid, u, v), _ = jax.lax.scan(body, init, jnp.arange(n_tiles))
+    return Hit(t, tid, u, v)
+
+
+def intersect_bruteforce(origins, dirs, t_min, t_max, soup: TriangleSoup,
+                         ray_chunk: int = 16384,
+                         tri_tile: int = 256) -> Hit:
+    """Closest-hit intersection of R rays against all triangles.
+
+    origins/dirs: (R, 3) f32. t_min/t_max: (R,) f32.
+    Triangle count must be a multiple of tri_tile (scene arrays are padded).
+    """
+    o = jnp.asarray(origins, jnp.float32)
+    d = jnp.asarray(dirs, jnp.float32)
+    t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), o.shape[:1])
+    t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), o.shape[:1])
+    R = o.shape[0]
+    if R <= ray_chunk:
+        return _intersect_chunk(o, d, t_min, t_max, soup, tri_tile=tri_tile)
+
+    pad = (-R) % ray_chunk
+    if pad:
+        o = jnp.concatenate([o, jnp.zeros((pad, 3), o.dtype)])
+        d = jnp.concatenate([d, jnp.ones((pad, 3), d.dtype)])
+        t_min = jnp.concatenate([t_min, jnp.zeros(pad, t_min.dtype)])
+        t_max = jnp.concatenate([t_max, jnp.zeros(pad, t_max.dtype)])
+    n = o.shape[0] // ray_chunk
+
+    def chunk_fn(args):
+        return _intersect_chunk(*args, soup, tri_tile=tri_tile)
+
+    hits = jax.lax.map(chunk_fn, (o.reshape(n, ray_chunk, 3),
+                                  d.reshape(n, ray_chunk, 3),
+                                  t_min.reshape(n, ray_chunk),
+                                  t_max.reshape(n, ray_chunk)))
+    flat = Hit(*(x.reshape(-1)[:R] for x in hits))
+    return flat
+
+
+def shadow_ray_visibility(origins, dirs, t_min, t_max, soup: TriangleSoup,
+                          **kw) -> jnp.ndarray:
+    """1.0 if unoccluded in (t_min, t_max), else 0.0
+    (reference: shader/path_tracer.glsl shadow_ray)."""
+    hit = intersect_bruteforce(origins, dirs, t_min, t_max, soup, **kw)
+    return jnp.where(hit.tri_id < 0, 1.0, 0.0).astype(jnp.float32)
+
+
+def intersect_spheres(origins, dirs, t_min, t_max, centers, radii):
+    """Analytic ray/sphere for point-light proxies
+    (reference: shader/rt_common_point_light.rint).
+
+    Returns (t, light_id) with light_id == -1 on miss."""
+    o = jnp.asarray(origins, jnp.float32)[:, None, :]     # (R, 1, 3)
+    d = jnp.asarray(dirs, jnp.float32)[:, None, :]
+    c = jnp.asarray(centers, jnp.float32)[None, :, :]     # (1, L, 3)
+    r = jnp.asarray(radii, jnp.float32)[None, :]          # (1, L)
+    oc = o - c
+    b = jnp.sum(oc * d, axis=-1)                          # (R, L)
+    cc = jnp.sum(oc * oc, axis=-1) - r * r
+    disc = b * b - cc
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    t0 = -b - sq
+    t1 = -b + sq
+    t = jnp.where(t0 >= t_min[:, None], t0, t1)
+    valid = (disc >= 0) & (r > 0) & (t >= t_min[:, None]) & (t < t_max[:, None])
+    t = jnp.where(valid, t, RAY_MAX_DIST)
+    best = jnp.argmin(t, axis=1).astype(jnp.int32)
+    rows = jnp.arange(t.shape[0])
+    bt = t[rows, best]
+    return bt, jnp.where(bt < RAY_MAX_DIST, best, -1)

@@ -1,0 +1,257 @@
+"""Camera rays, vertex interpolation, texture and material sampling.
+
+Vectorized counterparts of the reference's per-ray GLSL:
+  * get_camera_ray / get_screen_camera_ray (shader/camera.glsl, rt.glsl)
+  * get_interpolated_vertex (shader/rt.glsl:29-105)
+  * sample_material (shader/scene.glsl:88-152) incl. the exact
+    inverse_srgb_correction polynomial (shader/color.glsl:7-12)
+
+All functions operate on flat ray batches (R, ...).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..scene.device import CameraUniforms, DeviceScene
+
+
+def normalize(v, axis=-1):
+    return v / jnp.linalg.norm(v, axis=axis, keepdims=True)
+
+
+# ---------------------------------------------------------------------------
+# Camera rays
+# ---------------------------------------------------------------------------
+
+def get_camera_ray(cam: CameraUniforms, vp: jnp.ndarray, pixel_coord,
+                   screen_size, dof_u=None):
+    """Pinhole/ortho camera ray (reference: shader/camera.glsl get_camera_ray).
+
+    cam fields indexed by per-ray viewport `vp` (R,) i32;
+    pixel_coord: (R, 2) in pixels (already offset to sample position);
+    screen_size: (2,) float. Returns (origin (R,3), dir (R,3))."""
+    uv = pixel_coord / screen_size * 2.0 - 1.0            # (R, 2)
+    proj_inv = cam.proj_inverse[vp]                       # (R, 4, 4)
+    view_inv = cam.view_inverse[vp]
+    t = jnp.einsum("rij,rj->ri", proj_inv,
+                   jnp.concatenate([uv, jnp.ones_like(uv)], axis=-1))
+    d = jnp.einsum("rij,rj->ri", view_inv[:, :3, :3], t[:, :3])
+    d = normalize(d)
+    origin = cam.origin[vp][:, :3]
+    return origin, d
+
+
+def get_camera_ray_dof(cam: CameraUniforms, vp, pixel_coord, screen_size,
+                       dof_u):
+    """Depth-of-field version (thin lens; reference: shader/camera.glsl
+    USE_DEPTH_OF_FIELD branch)."""
+    from .sampling import sample_concentric_disk, sample_regular_polygon
+    uv = pixel_coord / screen_size * 2.0 - 1.0
+    dof = cam.dof_params[vp]                              # (R, 4)
+    sides = dof[:, 3]
+    ap_disk = sample_concentric_disk(dof_u)
+    ap_poly = sample_regular_polygon(dof_u, dof[:, 2], sides)
+    aperture = jnp.where(sides[:, None] == 0, ap_disk, ap_poly)
+    view_origin = jnp.concatenate(
+        [aperture * dof[:, 1:2], jnp.zeros_like(sides)[:, None]], axis=-1)
+    proj_inv = cam.proj_inverse[vp]
+    t = jnp.einsum("rij,rj->ri", proj_inv,
+                   jnp.concatenate([uv, jnp.ones_like(uv)], axis=-1))
+    view_dir = t[:, :3] * dof[:, 0:1]
+    view_dir = normalize(view_dir - view_origin)
+    view_inv = cam.view_inverse[vp]
+    origin = jnp.einsum("rij,rj->ri", view_inv[:, :3, :3], view_origin) + \
+        view_inv[:, :3, 3]
+    d = normalize(jnp.einsum("rij,rj->ri", view_inv[:, :3, :3], view_dir))
+    return origin, d
+
+
+def get_screen_camera_ray(cam: CameraUniforms, vp, pixel_pos, screen_size,
+                          pixel_offset=None, dof_u=None):
+    """(reference: shader/rt.glsl get_screen_camera_ray)
+    pixel_pos: (R, 2) integer pixel positions; OpenGL-style y flip."""
+    size = jnp.asarray(screen_size, jnp.float32)
+    if pixel_offset is None:
+        p = pixel_pos.astype(jnp.float32) + 0.5
+    else:
+        p = pixel_pos.astype(jnp.float32) + (pixel_offset * 0.5 + 0.5)
+    p = p.at[:, 1].set(size[1] - p[:, 1])
+    if dof_u is None:
+        return get_camera_ray(cam, vp, p, size)
+    return get_camera_ray_dof(cam, vp, p, size, dof_u)
+
+
+def get_camera_projection(cam: CameraUniforms, vp, world_pos):
+    """(reference: shader/camera.glsl get_camera_projection)"""
+    vpm = cam.view_proj[vp]
+    pr = jnp.einsum("rij,rj->ri", vpm[:, :3, :3], world_pos) + vpm[:, :3, 3]
+    w = jnp.einsum("rj,rj->r", cam.view_proj[vp][:, 3, :3], world_pos) + \
+        cam.view_proj[vp][:, 3, 3]
+    uv = pr[:, :2] / w[:, None] * 0.5 + 0.5
+    return jnp.concatenate([uv, w[:, None]], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Texture sampling
+# ---------------------------------------------------------------------------
+
+def sample_texture(scene: DeviceScene, tex_id, uv):
+    """Bilinear sample from the padded texture stack.
+
+    tex_id: (R,) i32 (negative = unbound, returns 1);
+    uv: (R, 2). REPEAT wrapping, matching the default sampler."""
+    tid = jnp.maximum(tex_id, 0)
+    size = scene.texture_size[tid].astype(jnp.float32)    # (R, 2) (w, h)
+    # repeat wrap
+    u = uv[:, 0] * size[:, 0] - 0.5
+    v = uv[:, 1] * size[:, 1] - 0.5
+    x0 = jnp.floor(u)
+    y0 = jnp.floor(v)
+    fu = (u - x0)[:, None]
+    fv = (v - y0)[:, None]
+    w = size[:, 0].astype(jnp.int32)
+    h = size[:, 1].astype(jnp.int32)
+
+    def wrap(x, n):
+        return jnp.mod(x.astype(jnp.int32), n)
+
+    x0i = wrap(x0, w)
+    x1i = wrap(x0 + 1, w)
+    y0i = wrap(y0, h)
+    y1i = wrap(y0 + 1, h)
+    tex = scene.textures
+    c00 = tex[tid, y0i, x0i].astype(jnp.float32)
+    c10 = tex[tid, y0i, x1i].astype(jnp.float32)
+    c01 = tex[tid, y1i, x0i].astype(jnp.float32)
+    c11 = tex[tid, y1i, x1i].astype(jnp.float32)
+    col = (c00 * (1 - fu) * (1 - fv) + c10 * fu * (1 - fv) +
+           c01 * (1 - fu) * fv + c11 * fu * fv) * (1.0 / 255.0)
+    return jnp.where(tex_id[:, None] >= 0, col, 1.0)
+
+
+def inverse_srgb_correction(col):
+    """(reference: shader/color.glsl:7-12) — the exact polynomial."""
+    low = col * 0.07739938
+    high = (col * 0.94786729 + 0.05213270) ** 2.4
+    return jnp.where(col > 0.04045, high, low)
+
+
+def rgb_to_luminance(col):
+    return col[..., 0] * 0.2126 + col[..., 1] * 0.7152 + col[..., 2] * 0.0722
+
+
+# ---------------------------------------------------------------------------
+# Vertex interpolation + material
+# ---------------------------------------------------------------------------
+
+class VertexData(NamedTuple):
+    """(reference: shader/scene.glsl vertex_data)"""
+    pos: jnp.ndarray
+    prev_pos: jnp.ndarray
+    hard_normal: jnp.ndarray
+    smooth_normal: jnp.ndarray
+    mapped_normal: jnp.ndarray
+    uv: jnp.ndarray
+    tangent: jnp.ndarray
+    bitangent: jnp.ndarray
+    back_facing: jnp.ndarray
+    instance_id: jnp.ndarray
+    primitive_id: jnp.ndarray
+
+
+class SampledMaterial(NamedTuple):
+    """(reference: shader/material.glsl sampled_material)"""
+    albedo: jnp.ndarray        # (R, 4)
+    metallic: jnp.ndarray
+    roughness: jnp.ndarray
+    emission: jnp.ndarray      # (R, 3)
+    transmittance: jnp.ndarray
+    ior_in: jnp.ndarray
+    ior_out: jnp.ndarray
+    f0: jnp.ndarray
+    double_sided: jnp.ndarray
+    shadow_terminator_mul: jnp.ndarray
+
+
+def interpolate_vertex(scene: DeviceScene, tri_id, bary_u, bary_v, view_dir
+                       ) -> VertexData:
+    """(reference: shader/rt.glsl get_interpolated_vertex). tri_id must be
+    clamped valid (mask misses outside)."""
+    tid = jnp.maximum(tri_id, 0)
+    b = jnp.stack([1.0 - bary_u - bary_v, bary_u, bary_v], axis=-1)  # (R, 3)
+    corners_pos = scene.tri_pos[tid]                   # (R, 3, 3)
+    pos = jnp.einsum("rc,rcj->rj", b, corners_pos)
+    prev_pos = jnp.einsum("rc,rcj->rj", b, scene.tri_pos_prev[tid])
+    smooth_n = normalize(jnp.einsum("rc,rcj->rj", b, scene.tri_normal[tid]))
+    tan4 = scene.tri_tangent[tid]                      # (R, 3, 4)
+    avg_tan = jnp.einsum("rc,rcj->rj", b, tan4)
+    tangent = normalize(avg_tan[:, :3])
+    uv = jnp.einsum("rc,rcj->rj", b, scene.tri_uv[tid])
+    hard_n = scene.tri_hard_normal[tid]
+    back = jnp.sum(hard_n * view_dir, axis=-1) > 0
+    sgn = jnp.where(back, -1.0, 1.0)[:, None]
+    smooth_n = smooth_n * sgn
+    hard_n = hard_n * sgn
+    bitangent = normalize(jnp.cross(smooth_n, tangent) * avg_tan[:, 3:4])
+    inst = scene.tri_instance[tid]
+    return VertexData(
+        pos=pos, prev_pos=prev_pos, hard_normal=hard_n,
+        smooth_normal=smooth_n, mapped_normal=smooth_n, uv=uv,
+        tangent=tangent, bitangent=bitangent, back_facing=back,
+        instance_id=inst, primitive_id=tid)
+
+
+def sample_material(scene: DeviceScene, v: VertexData
+                    ) -> Tuple[SampledMaterial, VertexData]:
+    """(reference: shader/scene.glsl sample_material). Returns material and
+    vertex data with normal mapping applied."""
+    inst = jnp.maximum(v.instance_id, 0)
+    tex = scene.inst_tex[inst]                          # (R, 4)
+
+    albedo = scene.inst_albedo[inst]
+    tex_col = sample_texture(scene, tex[:, 0], v.uv)
+    tex_rgb = inverse_srgb_correction(tex_col[:, :3])
+    albedo = albedo * jnp.concatenate([tex_rgb, tex_col[:, 3:4]], axis=-1)
+
+    mr = jnp.stack([scene.inst_metallic[inst],
+                    scene.inst_roughness[inst]], axis=-1)
+    mr_tex = sample_texture(scene, tex[:, 1], v.uv)
+    # glTF: metallic in B, roughness in G (reference: scene.glsl .bg swizzle)
+    mr = mr * jnp.stack([mr_tex[:, 2], mr_tex[:, 1]], axis=-1)
+    metallic = mr[:, 0]
+    roughness = mr[:, 1] * mr[:, 1]   # artist-space squaring
+
+    mapped_normal = v.smooth_normal
+    has_normal_tex = tex[:, 2] >= 0
+    nf = scene.inst_normal_factor[inst][:, None]
+    ts_n = sample_texture(scene, tex[:, 2], v.uv)[:, :3] * 2.0 - 1.0
+    ts_n = normalize(ts_n)
+    tbn_n = (v.tangent * ts_n[:, 0:1] * nf +
+             v.bitangent * ts_n[:, 1:2] * nf +
+             v.smooth_normal * ts_n[:, 2:3])
+    tbn_n = normalize(tbn_n)
+    mapped_normal = jnp.where(
+        (has_normal_tex[:, None]) & jnp.isfinite(tbn_n).all(-1, keepdims=True),
+        tbn_n, mapped_normal)
+
+    emission = scene.inst_emission[inst] * \
+        sample_texture(scene, tex[:, 3], v.uv)[:, :3]
+
+    transmittance = scene.inst_transmittance[inst]
+    ior = scene.inst_ior[inst]
+    refr_back = v.back_facing & (transmittance > 0.0001)
+    ior_in = jnp.where(refr_back, ior, 1.0)
+    ior_out = jnp.where(refr_back, 1.0, ior)
+    f0 = ((ior_out - ior_in) / (ior_out + ior_in)) ** 2
+
+    mat = SampledMaterial(
+        albedo=albedo, metallic=metallic, roughness=roughness,
+        emission=emission, transmittance=transmittance,
+        ior_in=ior_in, ior_out=ior_out, f0=f0,
+        double_sided=scene.inst_double_sided[inst],
+        shadow_terminator_mul=scene.inst_st_mul[inst])
+    return mat, v._replace(mapped_normal=mapped_normal)

@@ -1,0 +1,52 @@
+"""AOV renderer (reference: feature_renderer = rt_renderer<feature_stage>,
+src/rt_renderer.hh:76)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..ops.bvh import build_device_bvh, refit_device_bvh
+from ..scene.device import to_camera_uniforms, to_device_scene
+from ..stages.feature import render_feature
+from ..stages.tonemap import tonemap
+from .base import Renderer
+
+
+class FeatureRenderer(Renderer):
+    def __init__(self, opt, feature: str):
+        super().__init__(opt)
+        self.feature = feature
+        self._prev_cam = None
+
+    def _scene_changed(self):
+        self.device_scene = to_device_scene(
+            self.arrays, self.opt.transparent_background)
+        self.bvh = build_device_bvh(self.arrays.tri_pos,
+                                    self.arrays.tri_instance)
+        self._perm = np.asarray(self.bvh.to_orig)
+        self._prev_cam = None
+
+    def update_frame(self):
+        """Per-frame scene refresh (animation / camera movement)."""
+        self.arrays.update(keep_prev=True)
+        self.device_scene = to_device_scene(
+            self.arrays, self.opt.transparent_background)
+        self.bvh = refit_device_bvh(self.bvh, self.arrays.tri_pos, self._perm)
+
+    def render(self) -> np.ndarray:
+        vps = self.viewports()
+        cam = to_camera_uniforms(self.arrays.camera_uniforms(vps))
+        prev_cam = self._prev_cam if self._prev_cam is not None else cam
+        img = render_feature(
+            self.device_scene, self.bvh, cam, prev_cam,
+            self.feature, self.opt.width, self.opt.height, len(vps),
+            float(self.opt.default_value), float(self.opt.min_ray_dist))
+        # Feature outputs are linear: applying the default filmic operator
+        # would destroy AOV values; the reference goldens
+        # (test/references/validate_*.exr) confirm linear output for AOVs.
+        op = self.opt.tonemap
+        if op == "filmic":
+            op = "linear"
+        img = tonemap(img, op, self.opt.exposure, self.opt.gamma)
+        self._prev_cam = cam
+        return np.asarray(img)
