@@ -1,0 +1,76 @@
+"""Alpha-tested ray traversal.
+
+The reference handles alpha-masked/blended materials in any-hit shaders:
+closest-hit queries skip texels with albedo.a <= cutoff (deterministic
+1e-4 cutoff for feature/AOV rays, a per-ray uniform random cutoff for path
+tracing — stochastic transparency; reference: shader/rt_feature.rahit,
+shader/rt_common.rahit, shader/rt.glsl is_material_skippable).
+
+TPU formulation: trace, evaluate alpha at hits on transparency-capable
+instances, and re-trace skipped rays with t_min advanced past the hit.
+Fixed round count keeps shapes static; rounds only cost when alpha
+materials are actually hit.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+
+from ..scene.device import DeviceScene
+from .intersect import RAY_MAX_DIST, Hit
+from .shading import sample_texture
+
+
+def _hit_alpha(scene: DeviceScene, tri_id, u, v):
+    """albedo.a at a hit (reference: shader/rt.glsl is_material_skippable:
+    albedo_factor.a * albedo_texture.a)."""
+    tid = jnp.maximum(tri_id, 0)
+    inst = jnp.maximum(scene.tri_instance[tid], 0)
+    b = jnp.stack([1.0 - u - v, u, v], axis=-1)
+    uv = jnp.einsum("rc,rcj->rj", b, scene.tri_uv[tid])
+    a_factor = scene.inst_albedo[inst, 3]
+    tex_a = sample_texture(scene, scene.inst_tex[inst, 0], uv)[:, 3]
+    return a_factor * tex_a
+
+
+def trace_alpha(scene: DeviceScene, tracer, origins, dirs, t_min, t_max,
+                alpha_cutoff, has_alpha_materials: bool,
+                any_hit: bool = False, rounds: int = 4) -> Hit:
+    """Closest-hit (or shadow any-hit) trace with alpha skipping.
+
+    alpha_cutoff: scalar or (R,) per-ray cutoff; hits with
+    albedo.a <= cutoff are transparent and skipped."""
+    hit = tracer.trace(origins, dirs, t_min, t_max, any_hit=any_hit)
+    if not has_alpha_materials:
+        return hit
+    cutoff = jnp.broadcast_to(jnp.asarray(alpha_cutoff, jnp.float32),
+                              hit.t.shape)
+    t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), hit.t.shape)
+    t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), hit.t.shape)
+    for _ in range(rounds):
+        valid = hit.tri_id >= 0
+        inst = jnp.maximum(scene.tri_instance[jnp.maximum(hit.tri_id, 0)], 0)
+        may_skip = valid & scene.inst_has_alpha[inst]
+        alpha = _hit_alpha(scene, hit.tri_id, hit.u, hit.v)
+        skip = may_skip & (alpha <= cutoff)
+        # re-trace skipped rays past the transparent hit
+        new_tmin = jnp.where(skip, hit.t * (1 + 1e-5) + 1e-6, t_min)
+        rehit = tracer.trace(origins, dirs, new_tmin, t_max, any_hit=any_hit)
+        hit = Hit(
+            t=jnp.where(skip, rehit.t, hit.t),
+            tri_id=jnp.where(skip, rehit.tri_id, hit.tri_id),
+            u=jnp.where(skip, rehit.u, hit.u),
+            v=jnp.where(skip, rehit.v, hit.v))
+    return hit
+
+
+def shadow_visibility_alpha(scene: DeviceScene, tracer, origins, dirs,
+                            t_min, t_max, alpha_cutoff,
+                            has_alpha_materials: bool,
+                            rounds: int = 4) -> jnp.ndarray:
+    hit = trace_alpha(scene, tracer, origins, dirs, t_min, t_max,
+                      alpha_cutoff, has_alpha_materials, any_hit=True,
+                      rounds=rounds)
+    return jnp.where(hit.tri_id < 0, 1.0, 0.0)

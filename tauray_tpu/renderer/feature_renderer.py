@@ -5,7 +5,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..ops.bvh import build_device_bvh, refit_device_bvh
+from ..ops.cluster import build_cluster_tracer, refit_cluster_tracer
 from ..scene.device import to_camera_uniforms, to_device_scene
 from ..stages.feature import render_feature
 from ..stages.tonemap import tonemap
@@ -21,9 +21,8 @@ class FeatureRenderer(Renderer):
     def _scene_changed(self):
         self.device_scene = to_device_scene(
             self.arrays, self.opt.transparent_background)
-        self.bvh = build_device_bvh(self.arrays.tri_pos,
-                                    self.arrays.tri_instance)
-        self._perm = np.asarray(self.bvh.to_orig)
+        self.bvh, self._perm = build_cluster_tracer(
+            self.arrays.tri_pos, self.arrays.tri_instance)
         self._prev_cam = None
 
     def update_frame(self):
@@ -31,7 +30,8 @@ class FeatureRenderer(Renderer):
         self.arrays.update(keep_prev=True)
         self.device_scene = to_device_scene(
             self.arrays, self.opt.transparent_background)
-        self.bvh = refit_device_bvh(self.bvh, self.arrays.tri_pos, self._perm)
+        self.bvh = refit_cluster_tracer(self.bvh, self.arrays.tri_pos,
+                                        self._perm)
 
     def render(self) -> np.ndarray:
         vps = self.viewports()
@@ -40,7 +40,8 @@ class FeatureRenderer(Renderer):
         img = render_feature(
             self.device_scene, self.bvh, cam, prev_cam,
             self.feature, self.opt.width, self.opt.height, len(vps),
-            float(self.opt.default_value), float(self.opt.min_ray_dist))
+            float(self.opt.default_value), float(self.opt.min_ray_dist),
+            self.arrays.any_alpha_materials)
         # Feature outputs are linear: applying the default filmic operator
         # would destroy AOV values; the reference goldens
         # (test/references/validate_*.exr) confirm linear output for AOVs.

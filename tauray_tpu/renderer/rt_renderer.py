@@ -1,0 +1,133 @@
+"""Path-tracing renderer (reference: rt_renderer<path_tracer_stage> =
+path_tracer_renderer, src/rt_renderer.cc).
+
+Single-device orchestration: scene update → PT passes (samples_per_pixel /
+samples_per_pass, reference: src/tauray.cc:396-400) → accumulation →
+tonemap. Multi-device distribution lives in renderer/distributed.py."""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..log import TR_WARN
+from ..ops.cluster import build_cluster_tracer, refit_cluster_tracer
+from ..ops.lights import NEEWeights
+from ..scene.device import to_camera_uniforms, to_device_scene
+from ..stages.path_tracer import PTConfig, accumulate, pt_trace_pass
+from ..stages.tonemap import tonemap
+from .base import Renderer
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _render_pass(cfg: PTConfig, scene, bvh, cam, prev_cam, pix, vp,
+                 previous_samples):
+    out = pt_trace_pass(cfg, scene, bvh, cam, prev_cam, pix, vp,
+                        previous_samples)
+    return out
+
+
+class PathTracerRenderer(Renderer):
+    def __init__(self, opt, direct_only: bool = False):
+        super().__init__(opt)
+        self.direct_only = direct_only
+        self.accum_color: Optional[jnp.ndarray] = None
+        self.samples_accumulated = 0
+        self._prev_cam = None
+
+    def _scene_changed(self):
+        self.device_scene = to_device_scene(
+            self.arrays, self.opt.transparent_background)
+        self.bvh, self._perm = build_cluster_tracer(
+            self.arrays.tri_pos, self.arrays.tri_instance)
+        self._prev_cam = None
+        self.accum_color = None
+        self.samples_accumulated = 0
+        self.frame_counter = 0
+        opt = self.opt
+        spp = opt.samples_per_pixel
+        sppass = min(opt.samples_per_pass, spp)
+        spp = ((spp + sppass - 1) // sppass) * sppass
+        self.samples_per_pixel = spp
+        self.samples_per_pass = sppass
+        self.cfg = PTConfig(
+            width=opt.width, height=opt.height,
+            n_views=len(self.viewports()),
+            max_bounces=max(opt.max_ray_depth, 1),
+            samples_per_pass=sppass,
+            film=opt.film, film_radius=opt.film_radius,
+            min_ray_dist=opt.min_ray_dist,
+            mis_mode=opt.multiple_importance_sampling,
+            bounce_mode=opt.bounce_mode,
+            tri_light_mode=opt.tri_light_mode,
+            russian_roulette_delta=opt.russian_roulette,
+            indirect_clamping=opt.indirect_clamping,
+            regularization_gamma=opt.regularization,
+            nee=NEEWeights.from_options(opt, self.arrays),
+            has_envmap=self.arrays.environment_map is not None,
+            has_point_lights=self.arrays.point_count > 0,
+            hide_lights=opt.hide_lights,
+            use_dof=opt.depth_of_field.f_stop > 0,
+            transparent_background=opt.transparent_background,
+            use_white_albedo_on_first_bounce=(
+                opt.use_white_albedo_on_first_bounce),
+            direct_only=self.direct_only,
+            rng_seed=opt.rng_seed,
+            has_alpha_materials=self.arrays.any_alpha_materials)
+        V, H, W = self.cfg.n_views, opt.height, opt.width
+        ys, xs = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+        pix = np.stack([xs.reshape(-1), ys.reshape(-1)], axis=-1)
+        self._pix = jnp.asarray(np.tile(pix, (V, 1)).astype(np.int32))
+        self._vp = jnp.asarray(np.repeat(np.arange(V), H * W).astype(np.int32))
+
+    def update_frame(self):
+        self.arrays.update(keep_prev=True)
+        self.device_scene = to_device_scene(
+            self.arrays, self.opt.transparent_background)
+        self.bvh = refit_cluster_tracer(self.bvh, self.arrays.tri_pos,
+                                        self._perm)
+
+    def reset_accumulation(self, keep_samples: bool = False):
+        if not keep_samples:
+            if not self.opt.accumulation:
+                self.accum_color = None
+                self.samples_accumulated = 0
+            # with --accumulation, offline frames keep accumulating
+            # (reference: src/tauray.cc accumulation semantics)
+
+    def render(self) -> np.ndarray:
+        cfg = self.cfg
+        vps = self.viewports()
+        cam = to_camera_uniforms(self.arrays.camera_uniforms(vps))
+        prev_cam = self._prev_cam if self._prev_cam is not None else cam
+
+        n_passes = self.samples_per_pixel // self.samples_per_pass
+        sample_base = self.samples_accumulated
+        color = None
+        for p in range(n_passes):
+            prev = jnp.uint32(sample_base + p * self.samples_per_pass)
+            prev_arr = jnp.full(self._pix.shape[0], prev, jnp.uint32)
+            out = _render_pass(cfg, self.device_scene, self.bvh, cam,
+                               prev_cam, self._pix, self._vp, prev_arr)
+            if color is None and sample_base == 0 and p == 0:
+                color = out.color
+            else:
+                base = self.accum_color if (p == 0) else color
+                color = accumulate(out.color, base,
+                                   jnp.float32(self.samples_per_pass),
+                                   jnp.float32(sample_base +
+                                               p * self.samples_per_pass))
+        self.accum_color = color
+        self.samples_accumulated = sample_base + self.samples_per_pixel
+        self._last_out = out
+        self._prev_cam = cam
+
+        img = color.reshape(cfg.n_views, cfg.height, cfg.width, 4)
+        img = tonemap(img, self.opt.tonemap, self.opt.exposure,
+                      self.opt.gamma)
+        self.frame_counter += 1
+        return np.asarray(jax.device_get(img))

@@ -125,6 +125,7 @@ class SceneArrays:
         self.inst_tex = np.full((I, 4), -1, dtype=np.int32)  # albedo, mr, normal, emission
         self.inst_st_mul = np.ones(I, dtype=np.float32)
         self.inst_light_base = np.full(I, -1, dtype=np.int32)
+        self.inst_has_alpha = np.zeros(I, dtype=np.bool_)
         self.inst_model = np.tile(np.eye(4, dtype=np.float32), (I, 1, 1))
 
         mats = []
@@ -143,6 +144,15 @@ class SceneArrays:
             self.inst_tex[i] = [mat.albedo_tex, mat.metallic_roughness_tex,
                                 mat.normal_tex, mat.emission_tex]
             self.inst_st_mul[i] = ig.shadow_terminator_mul
+            # transparency-capable: constant alpha < 1 or an albedo texture
+            # with a non-opaque alpha channel (drives alpha-tested traversal)
+            has_alpha = mat.albedo_factor[3] < 1.0
+            texs = getattr(self.scene, "textures", [])
+            if 0 <= mat.albedo_tex < len(texs):
+                if (texs[mat.albedo_tex][..., 3] < 255).any():
+                    has_alpha = True
+            self.inst_has_alpha[i] = has_alpha
+        self.any_alpha_materials = bool(self.inst_has_alpha.any())
         self._materials = mats
 
         # --- merged object-space soup, gathered per-corner -----------------

@@ -37,6 +37,7 @@ class DeviceScene(NamedTuple):
     inst_tex: Any           # (I, 4) i32
     inst_st_mul: Any        # (I,)
     inst_light_base: Any    # (I,) i32
+    inst_has_alpha: Any     # (I,) bool
     # lights
     pl_color: Any
     pl_pos: Any
@@ -112,6 +113,7 @@ def to_device_scene(sa: SceneArrays, transparent_background: bool = False
         inst_tex=jnp.asarray(sa.inst_tex),
         inst_st_mul=jnp.asarray(sa.inst_st_mul),
         inst_light_base=jnp.asarray(sa.inst_light_base),
+        inst_has_alpha=jnp.asarray(sa.inst_has_alpha),
         pl_color=jnp.asarray(sa.pl_color),
         pl_pos=jnp.asarray(sa.pl_pos),
         pl_dir=jnp.asarray(sa.pl_dir),

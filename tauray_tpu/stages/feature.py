@@ -23,12 +23,15 @@ FEATURES = ("albedo", "world-normal", "view-normal", "world-pos", "view-pos",
             "instance-id")
 
 
-@partial(jax.jit, static_argnames=("feature", "width", "height", "n_views"))
+@partial(jax.jit, static_argnames=("feature", "width", "height", "n_views",
+                                   "has_alpha"))
 def render_feature(scene: DeviceScene, bvh: DeviceBVH, cam: CameraUniforms,
                    prev_cam: CameraUniforms, feature: str, width: int,
                    height: int, n_views: int, default_value: float,
-                   min_ray_dist: float) -> jnp.ndarray:
+                   min_ray_dist: float, has_alpha: bool = False
+                   ) -> jnp.ndarray:
     """Returns (V, H, W, 4) AOV image."""
+    from ..ops.trace_utils import trace_alpha
     V, H, W = n_views, height, width
     R = V * H * W
     ys, xs = jnp.meshgrid(jnp.arange(H), jnp.arange(W), indexing="ij")
@@ -38,8 +41,12 @@ def render_feature(scene: DeviceScene, bvh: DeviceBVH, cam: CameraUniforms,
     size = jnp.array([W, H], jnp.float32)
 
     origin, d = get_screen_camera_ray(cam, vp, pix, size)
-    hit = bvh.trace(origin, d, jnp.full(R, min_ray_dist, jnp.float32),
-                    jnp.full(R, jnp.inf, jnp.float32))
+    # alpha cutoff 1e-4 matches the feature any-hit shader (reference:
+    # shader/rt_feature.rahit is_material_skippable(.., 0.0001))
+    hit = trace_alpha(scene, bvh, origin, d,
+                      jnp.full(R, min_ray_dist, jnp.float32),
+                      jnp.full(R, jnp.inf, jnp.float32),
+                      1e-4, has_alpha)
     miss = hit.tri_id < 0
 
     v = interpolate_vertex(scene, hit.tri_id, hit.u, hit.v, d)

@@ -1,0 +1,621 @@
+"""Wavefront path tracer stage.
+
+The reference's megakernel bounce loop (reference:
+shader/path_tracer.glsl evaluate_ray, shader/path_tracer.rgen) becomes a
+wavefront over flat ray batches: per bounce, one BVH traversal over all
+rays, vectorized NEE + shadow traversal, vectorized GGX sampling.
+Dead rays are masked, not compacted (compaction is a planned perf pass).
+Feature parity:
+
+  * NEE over point/directional/tri/envmap lights with weighted selection
+    (reference: shader/path_tracer.glsl sample_explicit_light)
+  * MIS balance/power/off (reference: bsdf_mis_pdf / nee_mis_pdf)
+  * bounce modes hemisphere / cosine / material (shader/ggx.glsl)
+  * russian roulette, path-space regularization, indirect clamping
+  * film filters point/box/blackman-harris, depth of field
+  * demodulated diffuse/reflection outputs for denoisers
+  * deterministic pcg4d sample streams identical to the reference
+    (pixel, viewport+seed, global sample index)
+  * running-mean accumulation (reference: shader/gbuffer.glsl
+    accumulate_gbuffer_color)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import rng as rng_ops
+from ..ops.bvh import DeviceBVH
+from ..ops.ggx import (BSDFLobes, add_demodulated_color, material_bsdf_pdf,
+                       material_bsdf_sample, modulate_bsdf, modulate_color)
+from ..ops.intersect import RAY_MAX_DIST, intersect_spheres
+from ..ops.lights import (NEEWeights, environment_radiance,
+                          directional_light_radiance, point_light_radiance,
+                          ray_plane_intersection_dist, sample_directional_light,
+                          sample_directional_light_pdf, sample_environment_map,
+                          sample_point_light, sample_point_light_pdf,
+                          sample_triangle_light, sample_triangle_light_pdf)
+from ..ops.sampling import (create_tangent_space, from_tangent_space,
+                            get_barycentric_coords, normalize,
+                            sample_blackman_harris_concentric_disk,
+                            view_to_tangent_space)
+from ..ops.shading import (get_screen_camera_ray, interpolate_vertex,
+                           rgb_to_luminance, sample_material, sample_texture)
+from ..scene.device import CameraUniforms, DeviceScene
+
+
+@dataclass(frozen=True)
+class PTConfig:
+    """Static path tracer configuration → one compiled program per value."""
+    width: int
+    height: int
+    n_views: int
+    max_bounces: int
+    samples_per_pass: int = 1
+    film: str = "point"
+    film_radius: float = 0.5
+    min_ray_dist: float = 1e-4
+    mis_mode: str = "power"            # off | balance | power
+    bounce_mode: str = "material"      # hemisphere | cosine | material
+    tri_light_mode: str = "solid-angle"
+    russian_roulette_delta: float = 0.0
+    indirect_clamping: float = 0.0
+    regularization_gamma: float = 0.0
+    nee: NEEWeights = NEEWeights(0, 0, 0, 0)
+    has_envmap: bool = False
+    has_point_lights: bool = False
+    hide_lights: bool = False
+    use_dof: bool = False
+    transparent_background: bool = False
+    use_white_albedo_on_first_bounce: bool = False
+    direct_only: bool = False          # `direct` renderer: 2-bounce NEE-only
+    rng_seed: int = 0
+    has_alpha_materials: bool = False
+
+
+class PTOutput(NamedTuple):
+    color: jnp.ndarray       # (R, 4)
+    diffuse: jnp.ndarray     # (R, 4) demodulated
+    reflection: jnp.ndarray  # (R, 4)
+    first_albedo: jnp.ndarray      # (R, 4)
+    first_normal: jnp.ndarray      # (R, 3)
+    first_pos: jnp.ndarray         # (R, 3)
+    first_screen_motion: jnp.ndarray  # (R, 3)
+    first_instance: jnp.ndarray    # (R,) i32
+    first_metallic_roughness: jnp.ndarray  # (R, 2)
+
+
+def _mis_pdf_pair(cfg: PTConfig, a, b):
+    if cfg.mis_mode == "power":
+        return (a * a + b * b) / jnp.maximum(b, 1e-30)
+    if cfg.mis_mode == "balance":
+        return a + b
+    return None
+
+
+def bsdf_mis_pdf(cfg: PTConfig, scene, nee_point, nee_dir, nee_tri, nee_env,
+                 bsdf_pdf):
+    """(reference: shader/path_tracer.glsl bsdf_mis_pdf)"""
+    w = cfg.nee
+    avg_nee_pdf = (
+        nee_dir * w.directional /
+        jnp.maximum(scene.directional_light_count, 1) +
+        nee_tri * w.triangle / jnp.maximum(scene.tri_light_count, 1) +
+        nee_env * w.envmap +
+        nee_point * w.point / jnp.maximum(scene.point_light_count, 1))
+    if cfg.mis_mode == "power":
+        res = (avg_nee_pdf ** 2 + bsdf_pdf ** 2) / jnp.maximum(bsdf_pdf, 1e-30)
+    elif cfg.mis_mode == "balance":
+        res = avg_nee_pdf + bsdf_pdf
+    else:
+        res = jnp.where(avg_nee_pdf > 0, jnp.inf, bsdf_pdf)
+    return jnp.where(bsdf_pdf == 0.0, 1.0, res)
+
+
+def nee_mis_pdf(cfg: PTConfig, nee_pdf, bsdf_pdf):
+    """(reference: shader/path_tracer.glsl nee_mis_pdf). Negative nee_pdf
+    flags delta lights."""
+    if cfg.mis_mode == "power":
+        res = (nee_pdf ** 2 + bsdf_pdf ** 2) / jnp.maximum(nee_pdf, 1e-30)
+    elif cfg.mis_mode == "balance":
+        res = nee_pdf + bsdf_pdf
+    else:
+        res = nee_pdf
+    return jnp.where(nee_pdf <= 0.0, -nee_pdf, res)
+
+
+def _shadow_trace(cfg, scene, bvh, pos, dirs, t_min, t_max, alpha_u):
+    from ..ops.trace_utils import trace_alpha
+    hit = trace_alpha(scene, bvh, pos, dirs, t_min, t_max, alpha_u,
+                      cfg.has_alpha_materials, any_hit=True)
+    return jnp.where(hit.tri_id < 0, 1.0, 0.0)
+
+
+def sample_explicit_light(cfg: PTConfig, scene: DeviceScene, rand_uint, pos):
+    """(reference: shader/path_tracer.glsl sample_explicit_light).
+    Returns (color, out_dir, out_length, pdf)."""
+    R = pos.shape[0]
+    u = rand_uint.astype(jnp.float32) * jnp.float32(rng_ops.INV_UINT32_MAX)
+    w = cfg.nee
+    uw = u[:, 3]
+    pick_point = uw < w.point
+    pick_tri = ~pick_point & (uw < w.point + w.triangle)
+    pick_env = ~pick_point & ~pick_tri & (uw < w.point + w.triangle + w.envmap)
+    pick_dir = ~pick_point & ~pick_tri & ~pick_env & \
+        (uw < w.point + w.triangle + w.envmap + w.directional)
+
+    color = jnp.zeros((R, 3), jnp.float32)
+    out_dir = jnp.zeros((R, 3), jnp.float32)
+    out_len = jnp.zeros(R, jnp.float32)
+    pdf = jnp.ones(R, jnp.float32)
+
+    if w.point > 0:
+        lc = scene.point_light_count
+        li = jnp.clip((u[:, 2] * lc).astype(jnp.int32), 0, lc - 1)
+        weight = jnp.maximum(lc, 1).astype(jnp.float32)
+        d, l, c, p = sample_point_light(scene, li, u[:, :2], pos)
+        # prob/weight scales both area pdfs and delta markers (reference:
+        # path_tracer.glsl `pdf *= point_prob / weight`)
+        p = p * (w.point / weight)
+        color = jnp.where(pick_point[:, None], c, color)
+        out_dir = jnp.where(pick_point[:, None], d, out_dir)
+        out_len = jnp.where(pick_point, l, out_len)
+        pdf = jnp.where(pick_point, p, pdf)
+
+    if w.triangle > 0:
+        lc = scene.tri_light_count
+        li = jnp.clip((u[:, 2] * lc).astype(jnp.int32), 0, lc - 1)
+        tl = scene.tl_pos[li]                      # (R, 3, 3)
+        A = tl[:, 0] - pos
+        B = tl[:, 1] - pos
+        C = tl[:, 2] - pos
+        c = scene.tl_emission[li]
+        d, tri_pdf = sample_triangle_light(u[:, :2], A, B, C,
+                                           cfg.tri_light_mode)
+        l = ray_plane_intersection_dist(d, A, B, C)
+        bad = ~jnp.isfinite(tri_pdf) | (tri_pdf <= 0) | \
+            (l <= cfg.min_ray_dist) | ~jnp.isfinite(d).all(-1)
+        # textured emissive triangles
+        bary = get_barycentric_coords(d * l[:, None], A, B, C)
+        uv = jnp.einsum("rc,rcj->rj", bary, scene.tl_uv[li])
+        tex = sample_texture(scene, scene.tl_tex[li], uv)[:, :3]
+        c = c * tex
+        l = l - cfg.min_ray_dist
+        p = w.triangle * tri_pdf / jnp.maximum(lc, 1)
+        c = jnp.where(bad[:, None], 0.0, c)
+        d = jnp.where(bad[:, None], 0.0, d)
+        p = jnp.where(bad, 1.0, p)
+        color = jnp.where(pick_tri[:, None], c, color)
+        out_dir = jnp.where(pick_tri[:, None], d, out_dir)
+        out_len = jnp.where(pick_tri, l, out_len)
+        pdf = jnp.where(pick_tri, p, pdf)
+
+    if w.envmap > 0:
+        if cfg.has_envmap:
+            c, d, l, p = sample_environment_map(scene, rand_uint[:, :3])
+        else:
+            d = __import__("tauray_tpu.ops.sampling",
+                           fromlist=["sample_sphere"]).sample_sphere(u[:, :2])
+            p = jnp.full(R, 1.0 / (4.0 * jnp.pi))
+            c = jnp.broadcast_to(scene.env_factor[None, :3], (R, 3))
+            l = jnp.full(R, RAY_MAX_DIST)
+        p = p * w.envmap
+        color = jnp.where(pick_env[:, None], c, color)
+        out_dir = jnp.where(pick_env[:, None], d, out_dir)
+        out_len = jnp.where(pick_env, l, out_len)
+        pdf = jnp.where(pick_env, p, pdf)
+
+    if w.directional > 0:
+        lc = scene.directional_light_count
+        li = jnp.clip((u[:, 2] * lc).astype(jnp.int32), 0, lc - 1)
+        d, c, p = sample_directional_light(scene, li, u[:, :2])
+        p = p * (w.directional / jnp.maximum(lc, 1))
+        color = jnp.where(pick_dir[:, None], c, color)
+        out_dir = jnp.where(pick_dir[:, None], d, out_dir)
+        out_len = jnp.where(pick_dir, jnp.full(R, RAY_MAX_DIST), out_len)
+        pdf = jnp.where(pick_dir, p, pdf)
+
+    return color, out_dir, out_len, pdf
+
+
+def _clamp_contribution(cfg: PTConfig, contrib):
+    """(reference: shader/path_tracer.glsl clamp_contribution_mul)"""
+    if cfg.indirect_clamping <= 0:
+        return contrib
+    m = rgb_to_luminance(contrib)
+    mul = jnp.where(m > cfg.indirect_clamping,
+                    cfg.indirect_clamping / jnp.maximum(m, 1e-30), 1.0)
+    return contrib * mul[..., None]
+
+
+def _correct_lobes_for_normal_map(sample_dir, geometric_normal,
+                                  lobes: BSDFLobes) -> BSDFLobes:
+    """(reference: shader/path_tracer.glsl correct_lobes_for_normal_map)"""
+    below = jnp.sum(geometric_normal * sample_dir, -1) < 0
+    z = jnp.zeros_like(lobes.diffuse)
+    return BSDFLobes(
+        transmission=jnp.where(below, lobes.transmission, z),
+        diffuse=jnp.where(below, z, lobes.diffuse),
+        dielectric_reflection=jnp.where(below, z,
+                                        lobes.dielectric_reflection),
+        metallic_reflection=jnp.where(below, z, lobes.metallic_reflection))
+
+
+def next_event_estimation(cfg, scene, bvh, rand_uint, tbn, shading_view,
+                          mat, v_pos, v_hard_normal, alpha_u):
+    """(reference: shader/path_tracer.glsl next_event_estimation).
+    Returns (contrib, lobes)."""
+    t, b, n = tbn
+    contrib, out_dir, out_len, light_pdf = \
+        sample_explicit_light(cfg, scene, rand_uint, v_pos)
+    shading_light = jnp.stack([jnp.sum(out_dir * t, -1),
+                               jnp.sum(out_dir * b, -1),
+                               jnp.sum(out_dir * n, -1)], axis=-1)
+    lobes, bsdf_pdf = material_bsdf_pdf(shading_light, shading_view, mat,
+                                        cfg.bounce_mode)
+    lobes = _correct_lobes_for_normal_map(out_dir, v_hard_normal, lobes)
+    vis = _shadow_trace(cfg, scene, bvh, v_pos,
+                        jnp.where(jnp.abs(out_dir) < 1e-30,
+                                  jnp.array([0.0, 0, 1.0]), out_dir),
+                        jnp.full(out_len.shape, cfg.min_ray_dist),
+                        out_len, alpha_u)
+    needs_ray = jnp.any(contrib > 0.0001, axis=-1)
+    contrib = contrib * jnp.where(needs_ray, vis, 1.0)[:, None]
+    contrib = contrib / jnp.maximum(
+        nee_mis_pdf(cfg, light_pdf, bsdf_pdf), 1e-30)[:, None]
+    return contrib, lobes
+
+
+def _ray_visibility(view, mapped_normal, smooth_normal):
+    """(reference: shader/path_tracer.glsl ray_visibility)"""
+    h = mapped_normal + smooth_normal
+    vh = jnp.sum(view * h, -1)
+    nm = jnp.sum(mapped_normal * smooth_normal, -1)
+    return jnp.where((1 - nm) * jnp.sum(h * h, -1) <= 2.0 * vh * vh, 1.0, 0.0)
+
+
+def evaluate_ray(cfg: PTConfig, scene: DeviceScene, bvh: DeviceBVH,
+                 sampler_seed, pos, view):
+    """One path per ray (reference: shader/path_tracer.glsl evaluate_ray).
+
+    sampler_seed: (R, 4) uint32 random_sampler state (already initialized).
+    Returns (diffuse (R,4), reflection (R,4), first-hit dict)."""
+    R = pos.shape[0]
+    f0 = jnp.zeros(R, jnp.float32)
+    attenuation = jnp.ones((R, 3), jnp.float32)
+    diffuse = jnp.zeros((R, 4), jnp.float32)
+    reflection = jnp.zeros((R, 4), jnp.float32)
+    bsdf_pdf = jnp.zeros(R, jnp.float32)
+    regularization = jnp.ones(R, jnp.float32)
+    primary_lobes = BSDFLobes(f0, f0, f0, jnp.ones(R, jnp.float32))
+    alive = jnp.ones(R, bool)
+
+    first = {}
+    seed = sampler_seed
+    # stochastic transparency: per-path alpha cutoff stream (reference:
+    # shader/rt_common.rahit draws from payload.random_seed per any-hit)
+    alpha_seed = rng_ops.pcg4d(sampler_seed)
+
+    max_bounces = 2 if cfg.direct_only else cfg.max_bounces
+    for bounce in range(max_bounces):
+        if cfg.has_alpha_materials:
+            alpha_seed = rng_ops.pcg4d(alpha_seed)
+            alpha_u = rng_ops.uint_to_float(alpha_seed[:, 0])
+        else:
+            alpha_u = jnp.zeros(R, jnp.float32)
+        t_min = jnp.where(alive, 0.0 if bounce == 0 else cfg.min_ray_dist,
+                          0.0)
+        safe_view = jnp.where(jnp.abs(view) < 1e-30,
+                              jnp.array([0.0, 0, 1.0]), view)
+        from ..ops.trace_utils import trace_alpha
+        hit = trace_alpha(scene, bvh, pos, safe_view, t_min,
+                          jnp.full(R, RAY_MAX_DIST), alpha_u,
+                          cfg.has_alpha_materials)
+        # point-light spheres (reference: rt_common_point_light.rint)
+        see_lights = cfg.has_point_lights and \
+            not (cfg.hide_lights and bounce == 0) and not cfg.direct_only
+        if see_lights:
+            lt, lid = intersect_spheres(pos, safe_view, t_min, hit.t,
+                                        scene.pl_pos, scene.pl_radius)
+            light_hit = (lid >= 0) & (lt < hit.t)
+        else:
+            lid = jnp.full(R, -1, jnp.int32)
+            lt = jnp.full(R, RAY_MAX_DIST)
+            light_hit = jnp.zeros(R, bool)
+        tri_hit = (hit.tri_id >= 0) & ~light_hit
+        miss = ~tri_hit & ~light_hit
+
+        # ---- intersection info (reference: get_intersection_info) -----
+        v = interpolate_vertex(scene, hit.tri_id, hit.u, hit.v, safe_view)
+        mat, v = sample_material(scene, v)
+        mat = mat._replace(albedo=jnp.concatenate(
+            [mat.albedo[:, :3], jnp.ones((R, 1), jnp.float32)], axis=-1))
+
+        inst = jnp.maximum(v.instance_id, 0)
+        is_emissive_inst = scene.inst_light_base[inst] >= 0
+
+        nee_point = jnp.zeros(R, jnp.float32)
+        nee_dir = jnp.zeros(R, jnp.float32)
+        nee_tri = jnp.zeros(R, jnp.float32)
+        nee_env = jnp.zeros(R, jnp.float32)
+        light = jnp.zeros((R, 3), jnp.float32)
+        emission = mat.emission
+
+        if cfg.nee.triangle > 0:
+            tri_pdf = sample_triangle_light_pdf(
+                v.pos - pos,
+                scene.tri_pos[jnp.maximum(hit.tri_id, 0), 0] - pos,
+                scene.tri_pos[jnp.maximum(hit.tri_id, 0), 1] - pos,
+                scene.tri_pos[jnp.maximum(hit.tri_id, 0), 2] - pos,
+                cfg.tri_light_mode)
+            nee_tri = jnp.where(tri_hit & is_emissive_inst, tri_pdf, 0.0)
+            light = jnp.where((tri_hit & is_emissive_inst)[:, None],
+                              emission, light)
+            emission = jnp.where((tri_hit & is_emissive_inst)[:, None],
+                                 0.0, emission)
+        emission = jnp.where(tri_hit[:, None], emission, 0.0)
+        light = jnp.where(tri_hit[:, None], light, 0.0)
+
+        # point light hit
+        if see_lights:
+            pl_col = point_light_radiance(scene, jnp.maximum(lid, 0),
+                                          safe_view)
+            if cfg.nee.point > 0:
+                light = jnp.where(light_hit[:, None], pl_col, light)
+                nee_point = jnp.where(
+                    light_hit,
+                    sample_point_light_pdf(scene, jnp.maximum(lid, 0), pos),
+                    nee_point)
+            else:
+                emission = jnp.where(light_hit[:, None], pl_col, emission)
+
+        # miss: environment + directional lights
+        env_col, env_pdf = environment_radiance(scene, safe_view,
+                                                cfg.has_envmap)
+        dl_col, dl_pdf = directional_light_radiance(scene, safe_view)
+        if cfg.nee.directional > 0:
+            light = jnp.where(miss[:, None], light + dl_col, light)
+            nee_dir = jnp.where(miss, dl_pdf, nee_dir)
+        else:
+            emission = jnp.where(miss[:, None], emission + dl_col, emission)
+        if cfg.nee.envmap > 0:
+            light = jnp.where(miss[:, None], light + env_col, light)
+            nee_env = jnp.where(
+                miss, env_pdf if cfg.has_envmap else 0.0, nee_env)
+        else:
+            emission = jnp.where(miss[:, None], emission + env_col, emission)
+
+        terminal = ~tri_hit | (bounce == max_bounces - 1)
+        if cfg.direct_only and bounce > 0:
+            # direct renderer: secondary rays must not see emitters
+            light = jnp.zeros_like(light)
+            emission = jnp.zeros_like(emission)
+
+        # ---- MIS + emission accumulation -----------------------------
+        mis_pdf = bsdf_mis_pdf(cfg, scene, nee_point, nee_dir, nee_tri,
+                               nee_env, bsdf_pdf)
+        has_pdf = bsdf_pdf != 0
+        attenuation = jnp.where(
+            has_pdf[:, None],
+            attenuation / jnp.maximum(bsdf_pdf, 1e-30)[:, None],
+            attenuation)
+        mis_weight = jnp.where(has_pdf,
+                               bsdf_pdf / jnp.maximum(mis_pdf, 1e-30), 1.0)
+        contrib = attenuation * mis_weight[:, None] * (emission + light)
+        contrib = jnp.where(alive[:, None], contrib, 0.0)
+        if bounce != 0:
+            contrib = _clamp_contribution(cfg, contrib)
+        d_new, r_new = add_demodulated_color(primary_lobes, contrib,
+                                             diffuse[:, :3],
+                                             reflection[:, :3])
+        diffuse = jnp.concatenate([d_new, diffuse[:, 3:]], axis=-1)
+        reflection = jnp.concatenate([r_new, reflection[:, 3:]], axis=-1)
+
+        if bounce == 0:
+            first = dict(
+                vertex_pos=v.pos, vertex_prev_pos=v.prev_pos,
+                mapped_normal=jnp.where(tri_hit[:, None], v.mapped_normal,
+                                        -safe_view),
+                instance_id=jnp.where(tri_hit, v.instance_id, -1),
+                albedo=jnp.where(
+                    tri_hit[:, None], mat.albedo,
+                    jnp.where(light_hit[:, None],
+                              jnp.array([0.0, 0, 0, 1.0]), 0.0)),
+                metallic=jnp.where(tri_hit, mat.metallic, 1.0),
+                roughness=jnp.where(tri_hit, mat.roughness, 1.0),
+                emission=contrib,
+                miss=miss, light_hit=light_hit)
+
+        # ---- regularization ------------------------------------------
+        if cfg.regularization_gamma > 0:
+            reg_mul = jnp.maximum(
+                1 - cfg.regularization_gamma /
+                jnp.maximum(bsdf_pdf, 1e-30) ** 0.25, 0.0)
+            regularization = regularization * jnp.where(has_pdf, reg_mul, 1.0)
+            mat = mat._replace(
+                roughness=1.0 - (1.0 - mat.roughness) * regularization)
+
+        t, b, n = create_tangent_space(v.mapped_normal)
+        shading_view = view_to_tangent_space(safe_view, t, b, n)
+
+        # ---- NEE ------------------------------------------------------
+        if cfg.nee.any:
+            seed, rand = rng_ops.generate_uniform_random_uint(seed)
+            if cfg.has_alpha_materials:
+                alpha_seed = rng_ops.pcg4d(alpha_seed)
+                nee_alpha_u = rng_ops.uint_to_float(alpha_seed[:, 0])
+            else:
+                nee_alpha_u = jnp.zeros(R, jnp.float32)
+            radiance, nee_lobes = next_event_estimation(
+                cfg, scene, bvh, rand, (t, b, n), shading_view, mat,
+                v.pos, v.hard_normal, nee_alpha_u)
+            radiance = attenuation * radiance
+            active_nee = alive & ~terminal
+            if bounce != 0:
+                radiance = radiance * modulate_bsdf(mat, nee_lobes)
+                radiance = _clamp_contribution(cfg, radiance)
+            else:
+                primary_lobes = BSDFLobes(*(
+                    jnp.where(active_nee, n_, p_)
+                    for n_, p_ in zip(nee_lobes, primary_lobes)))
+            radiance = jnp.where(active_nee[:, None], radiance, 0.0)
+            d_new, r_new = add_demodulated_color(
+                primary_lobes, radiance, diffuse[:, :3], reflection[:, :3])
+            diffuse = jnp.concatenate([d_new, diffuse[:, 3:]], axis=-1)
+            reflection = jnp.concatenate([r_new, reflection[:, 3:]], axis=-1)
+            if bounce == 1:
+                inv_dist = 1.0 / jnp.maximum(
+                    jnp.linalg.norm(v.pos - pos, axis=-1), 1e-30)
+                a = jnp.where(active_nee, inv_dist, diffuse[:, 3])
+                diffuse = jnp.concatenate([diffuse[:, :3], a[:, None]],
+                                          axis=-1)
+                reflection = jnp.concatenate([reflection[:, :3], a[:, None]],
+                                             axis=-1)
+        else:
+            seed, _ = rng_ops.generate_uniform_random_uint(seed)
+
+        alive = alive & ~terminal
+        if bounce == max_bounces - 1:
+            break
+
+        # ---- next bounce ---------------------------------------------
+        seed, rand = rng_ops.generate_uniform_random_uint(seed)
+        ray_sample = rand.astype(jnp.float32) * \
+            jnp.float32(rng_ops.INV_UINT32_MAX)
+        out_dir_ts, lobes, bsdf_pdf = material_bsdf_sample(
+            ray_sample, shading_view, mat, cfg.bounce_mode)
+        new_view = from_tangent_space(out_dir_ts, t, b, n)
+        lobes = _correct_lobes_for_normal_map(v.hard_normal, new_view, lobes)
+
+        if bounce != 0:
+            attenuation = attenuation * modulate_bsdf(mat, lobes)
+        else:
+            primary_lobes = BSDFLobes(*(
+                jnp.where(alive, n_, p_)
+                for n_, p_ in zip(lobes, primary_lobes)))
+
+        pos = jnp.where(alive[:, None], v.pos, pos)
+        view = jnp.where(alive[:, None], new_view, view)
+
+        if cfg.russian_roulette_delta > 0:
+            qi = min(1.0, 1.0 / cfg.russian_roulette_delta)
+            alive = alive & (ray_sample[:, 3] <= qi)
+        alive = alive & (jnp.max(attenuation, axis=-1) > 0.0)
+
+    return diffuse, reflection, first
+
+
+def _film_offset(cfg: PTConfig, seed):
+    """Film filter AA offset in [-1, 1] units (reference:
+    shader/path_tracer.glsl get_world_camera_ray)."""
+    if cfg.film == "point":
+        return seed, None
+    seed, rand = rng_ops.generate_uniform_random_uint(seed)
+    u = rng_ops.uint_to_float(rand[..., :2])
+    if cfg.film == "box":
+        off = u * 2.0 - 1.0
+    else:  # blackman-harris
+        off = sample_blackman_harris_concentric_disk(u) * 2.0
+    return seed, off * (2.0 * cfg.film_radius)
+
+
+def pt_trace_pass(cfg: PTConfig, scene: DeviceScene, bvh: DeviceBVH,
+                  cam: CameraUniforms, prev_cam: CameraUniforms,
+                  pix_pos, vp, previous_samples) -> PTOutput:
+    """One pass of `samples_per_pass` samples per pixel, averaged
+    (reference: shader/path_tracer.rgen main)."""
+    R = pix_pos.shape[0]
+    size = jnp.array([cfg.width, cfg.height], jnp.float32)
+
+    sum_color = jnp.zeros((R, 3), jnp.float32)
+    sum_diffuse = jnp.zeros((R, 4), jnp.float32)
+    sum_reflection = jnp.zeros((R, 4), jnp.float32)
+    first = None
+    rng_seed_hash = 0
+    if cfg.rng_seed != 0:
+        import numpy as _np
+        s = _np.uint32(cfg.rng_seed)
+        s = s * _np.uint32(747796405) + _np.uint32(2891336453)
+        s = ((s >> _np.uint32((s >> _np.uint32(28)) + _np.uint32(4))) ^ s) \
+            * _np.uint32(277803737)
+        rng_seed_hash = int((s >> _np.uint32(22)) ^ s)
+
+    for i in range(cfg.samples_per_pass):
+        coord = jnp.stack([
+            pix_pos[:, 0].astype(jnp.uint32),
+            pix_pos[:, 1].astype(jnp.uint32),
+            (vp + rng_seed_hash).astype(jnp.uint32),
+            (previous_samples + i).astype(jnp.uint32)], axis=-1)
+        seed = rng_ops.init_random_sampler(coord)
+
+        seed, film_off = _film_offset(cfg, seed)
+        if cfg.use_dof:
+            seed, rand = rng_ops.generate_uniform_random_uint(seed)
+            dof_u = rng_ops.uint_to_float(rand[..., :2])
+        else:
+            dof_u = None
+        origin, d = get_screen_camera_ray(cam, vp, pix_pos, size,
+                                          pixel_offset=film_off, dof_u=dof_u)
+        # payload.random_seed = pcg4d(seed).x consumed first
+        seed, _ = rng_ops.generate_uniform_random_uint(seed)
+        diffuse, refl, fh = evaluate_ray(cfg, scene, bvh, seed, origin, d)
+
+        albedo = fh["albedo"]
+        if cfg.use_white_albedo_on_first_bounce:
+            white = jnp.concatenate(
+                [jnp.ones((R, 3), jnp.float32), albedo[:, 3:]], axis=-1)
+            mat_for_mod = white
+        else:
+            mat_for_mod = albedo
+
+        class _M:  # minimal mat view for modulate_color
+            pass
+        m = _M()
+        m.albedo = mat_for_mod
+        m.metallic = fh["metallic"]
+        color = fh["emission"] + modulate_color(m, diffuse[:, :3],
+                                                refl[:, :3])
+        sum_color = sum_color + color
+        sum_diffuse = sum_diffuse + diffuse
+        sum_reflection = sum_reflection + refl
+        if first is None:
+            first = fh
+
+    inv = 1.0 / cfg.samples_per_pass
+    sum_color = sum_color * inv
+    sum_diffuse = sum_diffuse * inv
+    sum_reflection = sum_reflection * inv
+
+    if cfg.transparent_background:
+        alpha = first["albedo"][:, 3]
+    else:
+        alpha = jnp.ones(R, jnp.float32)
+
+    from ..ops.shading import get_camera_projection
+    screen_motion = get_camera_projection(prev_cam, vp,
+                                          first["vertex_prev_pos"])
+
+    return PTOutput(
+        color=jnp.concatenate([sum_color, alpha[:, None]], axis=-1),
+        diffuse=sum_diffuse,
+        reflection=sum_reflection,
+        first_albedo=first["albedo"],
+        first_normal=first["mapped_normal"],
+        first_pos=first["vertex_pos"],
+        first_screen_motion=screen_motion,
+        first_instance=first["instance_id"],
+        first_metallic_roughness=jnp.stack(
+            [first["metallic"], first["roughness"]], axis=-1))
+
+
+def accumulate(new, prev, samples, previous_samples):
+    """Running mean (reference: shader/gbuffer.glsl
+    accumulate_gbuffer_color)."""
+    total = samples + previous_samples
+    t = previous_samples / jnp.maximum(total, 1)
+    return new * (1.0 - t) + prev * t
