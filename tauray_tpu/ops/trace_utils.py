@@ -37,7 +37,7 @@ def _hit_alpha(scene: DeviceScene, tri_id, u, v):
 
 def trace_alpha(scene: DeviceScene, tracer, origins, dirs, t_min, t_max,
                 alpha_cutoff, has_alpha_materials: bool,
-                any_hit: bool = False, rounds: int = 4) -> Hit:
+                any_hit: bool = False, rounds: int = 2) -> Hit:
     """Closest-hit (or shadow any-hit) trace with alpha skipping.
 
     alpha_cutoff: scalar or (R,) per-ray cutoff; hits with
@@ -69,7 +69,7 @@ def trace_alpha(scene: DeviceScene, tracer, origins, dirs, t_min, t_max,
 def shadow_visibility_alpha(scene: DeviceScene, tracer, origins, dirs,
                             t_min, t_max, alpha_cutoff,
                             has_alpha_materials: bool,
-                            rounds: int = 4) -> jnp.ndarray:
+                            rounds: int = 2) -> jnp.ndarray:
     hit = trace_alpha(scene, tracer, origins, dirs, t_min, t_max,
                       alpha_cutoff, has_alpha_materials, any_hit=True,
                       rounds=rounds)

@@ -1,0 +1,195 @@
+"""Multi-device distributed path tracing over a `jax.sharding.Mesh`.
+
+This is the TPU counterpart of the reference's multi-GPU rt_renderer
+(reference: src/rt_renderer.cc:84-183): each device renders its slice of
+the frame per the distribution strategy; the reference's explicit
+device→device transfers + stitch stage (reference: src/device_transfer.cc,
+src/stitch_stage.cc) collapse into a sharded `shard_map` program whose
+output is gathered over ICI and scattered back to frame positions.
+
+Dynamic load balancing re-slices the shuffled-strips pixel ranges with
+static max-size padding, so workload changes never recompile
+(SURVEY.md §5.7: "pad-to-max strip counts"). When accumulation is active,
+re-sliced devices restart their sample counters and are blended into the
+existing accumulation with ratio 1/(frames+1)
+(reference: src/rt_renderer.cc:164-183).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..log import TR_WARN
+from ..parallel import distribution as dist_mod
+from ..parallel.load_balancer import LoadBalancer
+from ..parallel.mesh import make_mesh
+from ..stages.path_tracer import (PTConfig, accumulate,
+                                  pt_trace_pass_inline)
+from ..stages.tonemap import tonemap
+from .rt_renderer import PathTracerRenderer
+
+
+class DistributedPathTracerRenderer(PathTracerRenderer):
+    """Path tracer sharded over a device mesh.
+
+    Scene arrays are replicated on every device (the reference replicates
+    the scene + BLAS/TLAS per GPU too; reference: src/rt_renderer.cc:192);
+    rays/pixels are sharded.
+    """
+
+    def __init__(self, opt, mesh: Optional[Mesh] = None,
+                 direct_only: bool = False):
+        self.mesh = mesh if mesh is not None else make_mesh(opt.mesh_shape)
+        self.n_devices = self.mesh.devices.size
+        super().__init__(opt, direct_only=direct_only)
+
+    # ------------------------------------------------------------------
+    def _scene_changed(self):
+        super()._scene_changed()
+        opt = self.opt
+        D = self.n_devices
+        strategy = opt.distribution_strategy
+        if D <= 1:
+            strategy = dist_mod.DUPLICATE  # (reference: tauray.cc:520-521)
+        self.strategy = strategy
+        # static per-device ray budget across rebalances
+        self.max_count = dist_mod.get_distribution_max_count(
+            (opt.width, opt.height), strategy, D)
+        # pad to ray-call granularity
+        self.max_count = -(-self.max_count // 128) * 128
+        if strategy == dist_mod.SHUFFLED_STRIPS:
+            # cap the per-device budget: load balancing may not exceed
+            # this fraction of the frame on one device
+            cap = min(self.max_count,
+                      -(-(4 * opt.width * opt.height) // (128 * D)) * 128)
+            self.max_count = cap
+        self.workloads = [1.0 / D] * D
+        self.accumulated_frames = 0
+        self._stitch_blend = 1.0
+        self._refresh_distribution()
+        self._build_sharded_fn()
+
+    def _refresh_distribution(self):
+        opt = self.opt
+        D = self.n_devices
+        pixs, valids, lins = [], [], []
+        cumulative = 0.0
+        self.dist_params = []
+        for i in range(D):
+            ratio = min(max(self.workloads[i], 0.0), 1.0 - cumulative)
+            p = dist_mod.get_device_distribution_params(
+                (opt.width, opt.height), self.strategy, cumulative, ratio,
+                i, D, i == 0)
+            if self.strategy == dist_mod.SHUFFLED_STRIPS:
+                cumulative += ratio
+            self.dist_params.append(p)
+            pix, valid, lin = dist_mod.device_pixel_positions(p,
+                                                              self.max_count)
+            if p.strategy == dist_mod.SHUFFLED_STRIPS and \
+                    p.count > self.max_count:
+                TR_WARN(f"device {i} workload clamped "
+                        f"({p.count} > {self.max_count} rays)")
+                valid[self.max_count:] = False
+            pixs.append(pix)
+            valids.append(valid)
+            lins.append(lin)
+        shard = NamedSharding(self.mesh, P("dev"))
+        self._pix_d = jax.device_put(np.stack(pixs), shard)
+        self._valid_d = jax.device_put(np.stack(valids), shard)
+        self._lin = np.stack(lins)
+        self._valid_host = np.stack(valids)
+
+    def _build_sharded_fn(self):
+        cfg = self.cfg
+        mesh = self.mesh
+        V = cfg.n_views
+
+        def per_device(scene, bvh, cam, prev_cam, pix, valid, prev_samples):
+            # local block shapes: pix (1, N, 2), valid (1, N)
+            pix = pix[0]
+            valid = valid[0]
+            N = pix.shape[0]
+            outs = []
+            for v in range(V):
+                vp = jnp.full(N, v, jnp.int32)
+                outs.append(pt_trace_pass_inline(
+                    cfg, scene, bvh, cam, prev_cam, pix, vp,
+                    jnp.full(N, prev_samples[0], jnp.uint32)))
+            color = jnp.stack(outs)              # (V, N, 4)
+            color = jnp.where(valid[None, :, None], color, 0.0)
+            return color[None]                   # (1, V, N, 4)
+
+        from jax.experimental.shard_map import shard_map
+        specs = dict(mesh=mesh,
+                     in_specs=(P(), P(), P(), P(), P("dev"), P("dev"),
+                               P("dev")),
+                     out_specs=P("dev"))
+        try:
+            smapped = shard_map(per_device, check_vma=False, **specs)
+        except TypeError:
+            smapped = shard_map(per_device, check_rep=False, **specs)
+        self._sharded_render = jax.jit(smapped)
+
+    # ------------------------------------------------------------------
+    def set_device_workloads(self, ratios: List[float]):
+        """(reference: src/rt_renderer.cc set_device_workloads)"""
+        if self.strategy in (dist_mod.DUPLICATE, dist_mod.SCANLINE):
+            return
+        self.workloads = list(ratios)
+        self._refresh_distribution()
+        if self.opt.accumulation:
+            self._stitch_blend = 1.0 / (self.accumulated_frames + 1)
+
+    def render(self) -> np.ndarray:
+        cfg = self.cfg
+        opt = self.opt
+        vps = self.viewports()
+        from ..scene.device import to_camera_uniforms
+        cam = to_camera_uniforms(self.arrays.camera_uniforms(vps))
+        prev_cam = self._prev_cam if self._prev_cam is not None else cam
+
+        n_passes = self.samples_per_pixel // self.samples_per_pass
+        sample_base = self.samples_accumulated
+        W, H, V = cfg.width, cfg.height, cfg.n_views
+        color_full = None
+        for p in range(n_passes):
+            prev = np.full((self.n_devices,),
+                           sample_base + p * self.samples_per_pass,
+                           np.uint32)
+            prev = jax.device_put(prev, NamedSharding(self.mesh, P("dev")))
+            chunks = self._sharded_render(
+                self.device_scene, self.bvh, cam, prev_cam,
+                self._pix_d, self._valid_d, prev)
+            chunks = np.asarray(jax.device_get(chunks))  # (D, V, N, 4)
+            frame = np.zeros((V, H * W, 4), np.float32)
+            for d in range(self.n_devices):
+                lin = self._lin[d]
+                ok = self._valid_host[d]
+                frame[:, lin[ok]] = chunks[d][:, ok]
+            frame = frame.reshape(V, H, W, 4)
+            if color_full is None and sample_base == 0 and p == 0:
+                color_full = frame
+            else:
+                base = self.accum_color if p == 0 else color_full
+                prev_n = sample_base + p * self.samples_per_pass
+                if self._stitch_blend < 1.0 and p == 0:
+                    color_full = base * (1 - self._stitch_blend) + \
+                        frame * self._stitch_blend
+                else:
+                    color_full = np.asarray(accumulate(
+                        frame, base, float(self.samples_per_pass),
+                        float(prev_n)))
+        self._stitch_blend = 1.0
+        self.accum_color = color_full
+        self.samples_accumulated = sample_base + self.samples_per_pixel
+        self.accumulated_frames += 1
+        self._prev_cam = cam
+        img = tonemap(jnp.asarray(color_full), opt.tonemap, opt.exposure,
+                      opt.gamma)
+        return np.asarray(img)

@@ -23,12 +23,12 @@ from ..stages.tonemap import tonemap
 from .base import Renderer
 
 
-@partial(jax.jit, static_argnames=("cfg",))
 def _render_pass(cfg: PTConfig, scene, bvh, cam, prev_cam, pix, vp,
                  previous_samples):
-    out = pt_trace_pass(cfg, scene, bvh, cam, prev_cam, pix, vp,
-                        previous_samples)
-    return out
+    """Host-orchestrated wavefront pass (sub-programs are individually
+    jitted and cached; see stages/path_tracer.py)."""
+    return pt_trace_pass(cfg, scene, bvh, cam, prev_cam, pix, vp,
+                         previous_samples)
 
 
 class PathTracerRenderer(Renderer):
@@ -81,8 +81,21 @@ class PathTracerRenderer(Renderer):
         V, H, W = self.cfg.n_views, opt.height, opt.width
         ys, xs = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
         pix = np.stack([xs.reshape(-1), ys.reshape(-1)], axis=-1)
-        self._pix = jnp.asarray(np.tile(pix, (V, 1)).astype(np.int32))
-        self._vp = jnp.asarray(np.repeat(np.arange(V), H * W).astype(np.int32))
+        pix = np.tile(pix, (V, 1)).astype(np.int32)
+        vp = np.repeat(np.arange(V), H * W).astype(np.int32)
+        # split the frame into multiple device calls: keeps each XLA
+        # program short (the remote TPU watchdog kills long kernels) and
+        # doubles as the reference's pass batching for progress reporting
+        # (reference: src/rt_stage.hh max_passes_per_command_buffer)
+        self.rays_per_call = min(32768, pix.shape[0])
+        R = pix.shape[0]
+        padr = (-R) % self.rays_per_call
+        if padr:
+            pix = np.concatenate([pix, np.zeros((padr, 2), np.int32)])
+            vp = np.concatenate([vp, np.zeros(padr, np.int32)])
+        self._n_rays = R
+        self._pix = jnp.asarray(pix)
+        self._vp = jnp.asarray(vp)
 
     def update_frame(self):
         self.arrays.update(keep_prev=True)
@@ -107,17 +120,25 @@ class PathTracerRenderer(Renderer):
 
         n_passes = self.samples_per_pixel // self.samples_per_pass
         sample_base = self.samples_accumulated
+        n_chunks = self._pix.shape[0] // self.rays_per_call
         color = None
         for p in range(n_passes):
             prev = jnp.uint32(sample_base + p * self.samples_per_pass)
-            prev_arr = jnp.full(self._pix.shape[0], prev, jnp.uint32)
-            out = _render_pass(cfg, self.device_scene, self.bvh, cam,
-                               prev_cam, self._pix, self._vp, prev_arr)
+            chunks = []
+            out = None
+            for c in range(n_chunks):
+                s = slice(c * self.rays_per_call, (c + 1) * self.rays_per_call)
+                prev_arr = jnp.full(self.rays_per_call, prev, jnp.uint32)
+                out = _render_pass(cfg, self.device_scene, self.bvh, cam,
+                                   prev_cam, self._pix[s], self._vp[s],
+                                   prev_arr)
+                chunks.append(out.color)
+            pass_color = jnp.concatenate(chunks)[:self._n_rays]
             if color is None and sample_base == 0 and p == 0:
-                color = out.color
+                color = pass_color
             else:
                 base = self.accum_color if (p == 0) else color
-                color = accumulate(out.color, base,
+                color = accumulate(pass_color, base,
                                    jnp.float32(self.samples_per_pass),
                                    jnp.float32(sample_base +
                                                p * self.samples_per_pass))

@@ -129,11 +129,7 @@ def nee_mis_pdf(cfg: PTConfig, nee_pdf, bsdf_pdf):
     return jnp.where(nee_pdf <= 0.0, -nee_pdf, res)
 
 
-def _shadow_trace(cfg, scene, bvh, pos, dirs, t_min, t_max, alpha_u):
-    from ..ops.trace_utils import trace_alpha
-    hit = trace_alpha(scene, bvh, pos, dirs, t_min, t_max, alpha_u,
-                      cfg.has_alpha_materials, any_hit=True)
-    return jnp.where(hit.tri_id < 0, 1.0, 0.0)
+
 
 
 def sample_explicit_light(cfg: PTConfig, scene: DeviceScene, rand_uint, pos):
@@ -246,9 +242,10 @@ def _correct_lobes_for_normal_map(sample_dir, geometric_normal,
         metallic_reflection=jnp.where(below, z, lobes.metallic_reflection))
 
 
-def next_event_estimation(cfg, scene, bvh, rand_uint, tbn, shading_view,
-                          mat, v_pos, v_hard_normal, alpha_u):
+def next_event_estimation(cfg, scene, rand_uint, tbn, shading_view,
+                          mat, v_pos, v_hard_normal, vis):
     """(reference: shader/path_tracer.glsl next_event_estimation).
+    `vis` is the shadow visibility traced by the wavefront orchestrator.
     Returns (contrib, lobes)."""
     t, b, n = tbn
     contrib, out_dir, out_len, light_pdf = \
@@ -259,11 +256,6 @@ def next_event_estimation(cfg, scene, bvh, rand_uint, tbn, shading_view,
     lobes, bsdf_pdf = material_bsdf_pdf(shading_light, shading_view, mat,
                                         cfg.bounce_mode)
     lobes = _correct_lobes_for_normal_map(out_dir, v_hard_normal, lobes)
-    vis = _shadow_trace(cfg, scene, bvh, v_pos,
-                        jnp.where(jnp.abs(out_dir) < 1e-30,
-                                  jnp.array([0.0, 0, 1.0]), out_dir),
-                        jnp.full(out_len.shape, cfg.min_ray_dist),
-                        out_len, alpha_u)
     needs_ray = jnp.any(contrib > 0.0001, axis=-1)
     contrib = contrib * jnp.where(needs_ray, vis, 1.0)[:, None]
     contrib = contrib / jnp.maximum(
@@ -279,235 +271,422 @@ def _ray_visibility(view, mapped_normal, smooth_normal):
     return jnp.where((1 - nm) * jnp.sum(h * h, -1) <= 2.0 * vh * vh, 1.0, 0.0)
 
 
+def _shade_bounce(cfg: PTConfig, scene: DeviceScene, state, hit, vis,
+                  b_idx, is_first: bool, max_bounces: int):
+    """Shading program for one bounce: consumes a precomputed closest hit
+    and NEE shadow visibilities. Wavefront architecture: the traversal
+    programs run separately (host-orchestrated), so this compiles once per
+    (cfg, is_first) and is reused for every bounce and sample pass."""
+    (seed, alpha_seed, pos, view, attenuation, bsdf_pdf, regularization,
+     pl_t, pl_d, pl_dr, pl_mr, alive, diffuse, reflection) = state
+    primary_lobes = BSDFLobes(pl_t, pl_d, pl_dr, pl_mr)
+    R = pos.shape[0]
+
+    if cfg.has_alpha_materials:
+        alpha_seed = rng_ops.pcg4d(alpha_seed)  # mirrors the pre-trace draw
+    safe_view = jnp.where(jnp.abs(view) < 1e-30,
+                          jnp.array([0.0, 0, 1.0]), view)
+    # point-light spheres (reference: rt_common_point_light.rint)
+    see_lights = cfg.has_point_lights and \
+        not (cfg.hide_lights and is_first) and not cfg.direct_only
+    if see_lights:
+        t_min = jnp.full(R, 0.0 if is_first else cfg.min_ray_dist,
+                         jnp.float32)
+        lt, lid = intersect_spheres(pos, safe_view, t_min, hit.t,
+                                    scene.pl_pos, scene.pl_radius)
+        light_hit = (lid >= 0) & (lt < hit.t)
+    else:
+        lid = jnp.full(R, -1, jnp.int32)
+        light_hit = jnp.zeros(R, bool)
+    tri_hit = (hit.tri_id >= 0) & ~light_hit
+    miss = ~tri_hit & ~light_hit
+
+    # ---- intersection info (reference: get_intersection_info) ---------
+    v = interpolate_vertex(scene, hit.tri_id, hit.u, hit.v, safe_view)
+    mat, v = sample_material(scene, v)
+    mat = mat._replace(albedo=jnp.concatenate(
+        [mat.albedo[:, :3], jnp.ones((R, 1), jnp.float32)], axis=-1))
+
+    inst = jnp.maximum(v.instance_id, 0)
+    is_emissive_inst = scene.inst_light_base[inst] >= 0
+
+    nee_point = jnp.zeros(R, jnp.float32)
+    nee_dir = jnp.zeros(R, jnp.float32)
+    nee_tri = jnp.zeros(R, jnp.float32)
+    nee_env = jnp.zeros(R, jnp.float32)
+    light = jnp.zeros((R, 3), jnp.float32)
+    emission = mat.emission
+
+    if cfg.nee.triangle > 0:
+        tri_pdf = sample_triangle_light_pdf(
+            v.pos - pos,
+            scene.tri_pos[jnp.maximum(hit.tri_id, 0), 0] - pos,
+            scene.tri_pos[jnp.maximum(hit.tri_id, 0), 1] - pos,
+            scene.tri_pos[jnp.maximum(hit.tri_id, 0), 2] - pos,
+            cfg.tri_light_mode)
+        nee_tri = jnp.where(tri_hit & is_emissive_inst, tri_pdf, 0.0)
+        light = jnp.where((tri_hit & is_emissive_inst)[:, None],
+                          emission, light)
+        emission = jnp.where((tri_hit & is_emissive_inst)[:, None],
+                             0.0, emission)
+    emission = jnp.where(tri_hit[:, None], emission, 0.0)
+    light = jnp.where(tri_hit[:, None], light, 0.0)
+
+    if see_lights:
+        pl_col = point_light_radiance(scene, jnp.maximum(lid, 0), safe_view)
+        if cfg.nee.point > 0:
+            light = jnp.where(light_hit[:, None], pl_col, light)
+            nee_point = jnp.where(
+                light_hit,
+                sample_point_light_pdf(scene, jnp.maximum(lid, 0), pos),
+                nee_point)
+        else:
+            emission = jnp.where(light_hit[:, None], pl_col, emission)
+
+    env_col, env_pdf = environment_radiance(scene, safe_view, cfg.has_envmap)
+    dl_col, dl_pdf = directional_light_radiance(scene, safe_view)
+    if cfg.nee.directional > 0:
+        light = jnp.where(miss[:, None], light + dl_col, light)
+        nee_dir = jnp.where(miss, dl_pdf, nee_dir)
+    else:
+        emission = jnp.where(miss[:, None], emission + dl_col, emission)
+    if cfg.nee.envmap > 0:
+        light = jnp.where(miss[:, None], light + env_col, light)
+        nee_env = jnp.where(miss, env_pdf if cfg.has_envmap else 0.0, nee_env)
+    else:
+        emission = jnp.where(miss[:, None], emission + env_col, emission)
+
+    terminal = ~tri_hit | (b_idx == max_bounces - 1)
+    if cfg.direct_only and not is_first:
+        # direct renderer: secondary rays must not see emitters
+        light = jnp.zeros_like(light)
+        emission = jnp.zeros_like(emission)
+
+    # ---- MIS + emission accumulation ----------------------------------
+    mis_pdf = bsdf_mis_pdf(cfg, scene, nee_point, nee_dir, nee_tri,
+                           nee_env, bsdf_pdf)
+    has_pdf = bsdf_pdf != 0
+    attenuation = jnp.where(
+        has_pdf[:, None],
+        attenuation / jnp.maximum(bsdf_pdf, 1e-30)[:, None], attenuation)
+    mis_weight = jnp.where(has_pdf,
+                           bsdf_pdf / jnp.maximum(mis_pdf, 1e-30), 1.0)
+    contrib = attenuation * mis_weight[:, None] * (emission + light)
+    contrib = jnp.where(alive[:, None], contrib, 0.0)
+    if not is_first:
+        contrib = _clamp_contribution(cfg, contrib)
+    d_new, r_new = add_demodulated_color(primary_lobes, contrib,
+                                         diffuse[:, :3], reflection[:, :3])
+    diffuse = jnp.concatenate([d_new, diffuse[:, 3:]], axis=-1)
+    reflection = jnp.concatenate([r_new, reflection[:, 3:]], axis=-1)
+
+    first = None
+    if is_first:
+        first = dict(
+            vertex_pos=v.pos, vertex_prev_pos=v.prev_pos,
+            mapped_normal=jnp.where(tri_hit[:, None], v.mapped_normal,
+                                    -safe_view),
+            instance_id=jnp.where(tri_hit, v.instance_id, -1),
+            albedo=jnp.where(
+                tri_hit[:, None], mat.albedo,
+                jnp.where(light_hit[:, None],
+                          jnp.array([0.0, 0, 0, 1.0]), 0.0)),
+            metallic=jnp.where(tri_hit, mat.metallic, 1.0),
+            roughness=jnp.where(tri_hit, mat.roughness, 1.0),
+            emission=contrib, miss=miss, light_hit=light_hit)
+
+    # ---- regularization ------------------------------------------------
+    if cfg.regularization_gamma > 0:
+        reg_mul = jnp.maximum(
+            1 - cfg.regularization_gamma /
+            jnp.maximum(bsdf_pdf, 1e-30) ** 0.25, 0.0)
+        regularization = regularization * jnp.where(has_pdf, reg_mul, 1.0)
+        mat = mat._replace(
+            roughness=1.0 - (1.0 - mat.roughness) * regularization)
+
+    t, b, n = create_tangent_space(v.mapped_normal)
+    shading_view = view_to_tangent_space(safe_view, t, b, n)
+
+    # ---- NEE ------------------------------------------------------------
+    if cfg.nee.any:
+        seed, rand = rng_ops.generate_uniform_random_uint(seed)
+        if cfg.has_alpha_materials:
+            alpha_seed = rng_ops.pcg4d(alpha_seed)  # mirrors NEE shadow draw
+        radiance, nee_lobes = next_event_estimation(
+            cfg, scene, rand, (t, b, n), shading_view, mat,
+            v.pos, v.hard_normal, vis)
+        radiance = attenuation * radiance
+        active_nee = alive & ~terminal
+        if not is_first:
+            radiance = radiance * modulate_bsdf(mat, nee_lobes)
+            radiance = _clamp_contribution(cfg, radiance)
+        else:
+            primary_lobes = BSDFLobes(*(
+                jnp.where(active_nee, n_, p_)
+                for n_, p_ in zip(nee_lobes, primary_lobes)))
+        radiance = jnp.where(active_nee[:, None], radiance, 0.0)
+        d_new, r_new = add_demodulated_color(
+            primary_lobes, radiance, diffuse[:, :3], reflection[:, :3])
+        diffuse = jnp.concatenate([d_new, diffuse[:, 3:]], axis=-1)
+        reflection = jnp.concatenate([r_new, reflection[:, 3:]], axis=-1)
+        if not is_first:
+            # bounce 1 stores 1/first-segment-length in alpha for denoisers
+            set_a = active_nee & (b_idx == 1)
+            inv_dist = 1.0 / jnp.maximum(
+                jnp.linalg.norm(v.pos - pos, axis=-1), 1e-30)
+            a = jnp.where(set_a, inv_dist, diffuse[:, 3])
+            diffuse = jnp.concatenate([diffuse[:, :3], a[:, None]], axis=-1)
+            reflection = jnp.concatenate([reflection[:, :3], a[:, None]],
+                                         axis=-1)
+    else:
+        seed, _ = rng_ops.generate_uniform_random_uint(seed)
+
+    alive = alive & ~terminal
+
+    # ---- next bounce -----------------------------------------------------
+    seed, rand = rng_ops.generate_uniform_random_uint(seed)
+    ray_sample = rand.astype(jnp.float32) * \
+        jnp.float32(rng_ops.INV_UINT32_MAX)
+    out_dir_ts, lobes, new_bsdf_pdf = material_bsdf_sample(
+        ray_sample, shading_view, mat, cfg.bounce_mode)
+    new_view = from_tangent_space(out_dir_ts, t, b, n)
+    lobes = _correct_lobes_for_normal_map(v.hard_normal, new_view, lobes)
+
+    if not is_first:
+        attenuation = jnp.where(alive[:, None],
+                                attenuation * modulate_bsdf(mat, lobes),
+                                attenuation)
+    else:
+        primary_lobes = BSDFLobes(*(
+            jnp.where(alive, n_, p_)
+            for n_, p_ in zip(lobes, primary_lobes)))
+
+    bsdf_pdf = jnp.where(alive, new_bsdf_pdf, bsdf_pdf)
+    pos = jnp.where(alive[:, None], v.pos, pos)
+    view = jnp.where(alive[:, None], new_view, view)
+
+    if cfg.russian_roulette_delta > 0:
+        qi = min(1.0, 1.0 / cfg.russian_roulette_delta)
+        alive = alive & (ray_sample[:, 3] <= qi)
+    alive = alive & (jnp.max(attenuation, axis=-1) > 0.0)
+
+    state = (seed, alpha_seed, pos, view, attenuation, bsdf_pdf,
+             regularization, *primary_lobes, alive, diffuse, reflection)
+    return state, first
+
+
+_shade_jit = None
+
+
+def _get_shade_jit():
+    global _shade_jit
+    if _shade_jit is None:
+        _shade_jit = jax.jit(
+            _shade_bounce,
+            static_argnames=("cfg", "is_first", "max_bounces"))
+    return _shade_jit
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _nee_prep(cfg: PTConfig, scene: DeviceScene, seed, alpha_seed, hit,
+              pos, view):
+    """Small program producing NEE shadow rays for the wavefront
+    orchestrator. Redraws the same RNG values the shade program will."""
+    safe_view = jnp.where(jnp.abs(view) < 1e-30,
+                          jnp.array([0.0, 0, 1.0]), view)
+    v = interpolate_vertex(scene, hit.tri_id, hit.u, hit.v, safe_view)
+    _, rand = rng_ops.generate_uniform_random_uint(seed)
+    _, out_dir, out_len, _ = sample_explicit_light(cfg, scene, rand, v.pos)
+    if cfg.has_alpha_materials:
+        a2 = rng_ops.pcg4d(alpha_seed)
+        nee_alpha_u = rng_ops.uint_to_float(a2[:, 0])
+    else:
+        nee_alpha_u = jnp.zeros(pos.shape[0], jnp.float32)
+    safe_dir = jnp.where(jnp.abs(out_dir) < 1e-30,
+                         jnp.array([0.0, 0, 1.0]), out_dir)
+    return v.pos, safe_dir, out_len, nee_alpha_u
+
+
+@partial(jax.jit, static_argnames=())
+def _advance_alpha(alpha_seed):
+    a2 = rng_ops.pcg4d(alpha_seed)
+    return rng_ops.uint_to_float(a2[:, 0])
+
+
+@partial(jax.jit, static_argnames=())
+def _alpha_skip(scene: DeviceScene, t, tri_id, u, v, cutoff, t_min):
+    from ..ops.trace_utils import _hit_alpha
+    valid = tri_id >= 0
+    inst = jnp.maximum(scene.tri_instance[jnp.maximum(tri_id, 0)], 0)
+    may_skip = valid & scene.inst_has_alpha[inst]
+    alpha = _hit_alpha(scene, tri_id, u, v)
+    skip = may_skip & (alpha <= cutoff)
+    new_tmin = jnp.where(skip, t * (1 + 1e-5) + 1e-6, t_min)
+    return skip, new_tmin, jnp.any(skip)
+
+
+@jax.jit
+def _merge_hit(skip, hit, rehit):
+    from ..ops.intersect import Hit
+    return Hit(
+        t=jnp.where(skip, rehit.t, hit.t),
+        tri_id=jnp.where(skip, rehit.tri_id, hit.tri_id),
+        u=jnp.where(skip, rehit.u, hit.u),
+        v=jnp.where(skip, rehit.v, hit.v))
+
+
+def host_trace_alpha(scene, tracer, o, d, t_min, t_max, alpha_u,
+                     has_alpha: bool, any_hit: bool = False,
+                     rounds: int = 6):
+    """Host-orchestrated alpha-tested trace: re-traces only when a
+    transparent hit actually occurred (one host sync per round, with early
+    exit — in opaque regions this is a single traversal)."""
+    R = o.shape[0]
+    t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (R,))
+    t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (R,))
+    hit = tracer.trace(o, d, t_min, t_max, any_hit=any_hit)
+    if not has_alpha:
+        return hit
+    cutoff = jnp.broadcast_to(jnp.asarray(alpha_u, jnp.float32), (R,))
+    for _ in range(rounds):
+        skip, new_tmin, any_skip = _alpha_skip(
+            scene, hit.t, hit.tri_id, hit.u, hit.v, cutoff, t_min)
+        if not bool(any_skip):
+            break
+        rehit = tracer.trace(o, d, new_tmin, t_max, any_hit=any_hit)
+        hit = _merge_hit(skip, hit, rehit)
+        t_min = new_tmin
+    return hit
+
+
+def _run_bounce(cfg: PTConfig, scene: DeviceScene, tracer, state, b_idx,
+                is_first: bool, max_bounces: int):
+    (seed, alpha_seed, pos, view) = state[0], state[1], state[2], state[3]
+    R = pos.shape[0]
+    if cfg.has_alpha_materials:
+        alpha_u = _advance_alpha(alpha_seed)
+    else:
+        alpha_u = 0.0
+    t_min = 0.0 if is_first else cfg.min_ray_dist
+    hit = host_trace_alpha(scene, tracer, pos, view, t_min, RAY_MAX_DIST,
+                           alpha_u, cfg.has_alpha_materials)
+    if cfg.nee.any:
+        sh_o, sh_d, sh_len, nee_alpha_u = _nee_prep(
+            cfg, scene, seed, alpha_seed, hit, pos, view)
+        sh = host_trace_alpha(scene, tracer, sh_o, sh_d, cfg.min_ray_dist,
+                              sh_len, nee_alpha_u, cfg.has_alpha_materials,
+                              any_hit=True)
+        vis = jnp.where(sh.tri_id < 0, 1.0, 0.0)
+    else:
+        vis = jnp.ones(R, jnp.float32)
+    return _get_shade_jit()(cfg, scene, state, hit, vis,
+                            jnp.int32(b_idx), is_first, max_bounces)
+
+
 def evaluate_ray(cfg: PTConfig, scene: DeviceScene, bvh: DeviceBVH,
                  sampler_seed, pos, view):
     """One path per ray (reference: shader/path_tracer.glsl evaluate_ray).
 
-    sampler_seed: (R, 4) uint32 random_sampler state (already initialized).
+    Wavefront orchestration: per bounce, a closest-hit wave, an NEE shadow
+    wave, and a shading program — all small, individually-compiled, reused
+    programs. Dead-ray early exit via one host sync per bounce.
     Returns (diffuse (R,4), reflection (R,4), first-hit dict)."""
     R = pos.shape[0]
-    f0 = jnp.zeros(R, jnp.float32)
-    attenuation = jnp.ones((R, 3), jnp.float32)
-    diffuse = jnp.zeros((R, 4), jnp.float32)
-    reflection = jnp.zeros((R, 4), jnp.float32)
-    bsdf_pdf = jnp.zeros(R, jnp.float32)
-    regularization = jnp.ones(R, jnp.float32)
-    primary_lobes = BSDFLobes(f0, f0, f0, jnp.ones(R, jnp.float32))
-    alive = jnp.ones(R, bool)
-
-    first = {}
-    seed = sampler_seed
-    # stochastic transparency: per-path alpha cutoff stream (reference:
-    # shader/rt_common.rahit draws from payload.random_seed per any-hit)
-    alpha_seed = rng_ops.pcg4d(sampler_seed)
-
+    z = jnp.zeros(R, jnp.float32)
+    state = (
+        sampler_seed,
+        rng_ops.pcg4d(sampler_seed),          # stochastic-alpha stream
+        pos, view,
+        jnp.ones((R, 3), jnp.float32),        # attenuation
+        z,                                    # bsdf_pdf
+        jnp.ones(R, jnp.float32),             # regularization
+        z, z, z, jnp.ones(R, jnp.float32),    # primary lobes (t, d, dr, mr)
+        jnp.ones(R, bool),                    # alive
+        jnp.zeros((R, 4), jnp.float32),       # diffuse
+        jnp.zeros((R, 4), jnp.float32),       # reflection
+    )
     max_bounces = 2 if cfg.direct_only else cfg.max_bounces
-    for bounce in range(max_bounces):
+
+    state, first = _run_bounce(cfg, scene, bvh, state, 0, True, max_bounces)
+    for b_idx in range(1, max_bounces):
+        alive = state[11]
+        if not bool(jnp.any(alive)):
+            break
+        state, _ = _run_bounce(cfg, scene, bvh, state, b_idx, False,
+                               max_bounces)
+    diffuse = state[-2]
+    reflection = state[-1]
+    return diffuse, reflection, first
+
+
+def evaluate_ray_inline(cfg: PTConfig, scene: DeviceScene, bvh,
+                        sampler_seed, pos, view):
+    """Fully-jittable variant of evaluate_ray (fixed alpha rounds, no host
+    syncs) for use inside `shard_map` / multi-chip programs."""
+    from ..ops.trace_utils import trace_alpha
+    R = pos.shape[0]
+    z = jnp.zeros(R, jnp.float32)
+    state = (
+        sampler_seed, rng_ops.pcg4d(sampler_seed), pos, view,
+        jnp.ones((R, 3), jnp.float32), z, jnp.ones(R, jnp.float32),
+        z, z, z, jnp.ones(R, jnp.float32), jnp.ones(R, bool),
+        jnp.zeros((R, 4), jnp.float32), jnp.zeros((R, 4), jnp.float32))
+    max_bounces = 2 if cfg.direct_only else cfg.max_bounces
+    first = None
+    for b_idx in range(max_bounces):
+        is_first = b_idx == 0
+        seed, alpha_seed, cur_pos, cur_view = state[:4]
         if cfg.has_alpha_materials:
-            alpha_seed = rng_ops.pcg4d(alpha_seed)
-            alpha_u = rng_ops.uint_to_float(alpha_seed[:, 0])
+            alpha_u = _advance_alpha(alpha_seed)
         else:
             alpha_u = jnp.zeros(R, jnp.float32)
-        t_min = jnp.where(alive, 0.0 if bounce == 0 else cfg.min_ray_dist,
-                          0.0)
-        safe_view = jnp.where(jnp.abs(view) < 1e-30,
-                              jnp.array([0.0, 0, 1.0]), view)
-        from ..ops.trace_utils import trace_alpha
-        hit = trace_alpha(scene, bvh, pos, safe_view, t_min,
+        t_min = 0.0 if is_first else cfg.min_ray_dist
+        hit = trace_alpha(scene, bvh, cur_pos, cur_view,
+                          jnp.full(R, t_min, jnp.float32),
                           jnp.full(R, RAY_MAX_DIST), alpha_u,
                           cfg.has_alpha_materials)
-        # point-light spheres (reference: rt_common_point_light.rint)
-        see_lights = cfg.has_point_lights and \
-            not (cfg.hide_lights and bounce == 0) and not cfg.direct_only
-        if see_lights:
-            lt, lid = intersect_spheres(pos, safe_view, t_min, hit.t,
-                                        scene.pl_pos, scene.pl_radius)
-            light_hit = (lid >= 0) & (lt < hit.t)
-        else:
-            lid = jnp.full(R, -1, jnp.int32)
-            lt = jnp.full(R, RAY_MAX_DIST)
-            light_hit = jnp.zeros(R, bool)
-        tri_hit = (hit.tri_id >= 0) & ~light_hit
-        miss = ~tri_hit & ~light_hit
-
-        # ---- intersection info (reference: get_intersection_info) -----
-        v = interpolate_vertex(scene, hit.tri_id, hit.u, hit.v, safe_view)
-        mat, v = sample_material(scene, v)
-        mat = mat._replace(albedo=jnp.concatenate(
-            [mat.albedo[:, :3], jnp.ones((R, 1), jnp.float32)], axis=-1))
-
-        inst = jnp.maximum(v.instance_id, 0)
-        is_emissive_inst = scene.inst_light_base[inst] >= 0
-
-        nee_point = jnp.zeros(R, jnp.float32)
-        nee_dir = jnp.zeros(R, jnp.float32)
-        nee_tri = jnp.zeros(R, jnp.float32)
-        nee_env = jnp.zeros(R, jnp.float32)
-        light = jnp.zeros((R, 3), jnp.float32)
-        emission = mat.emission
-
-        if cfg.nee.triangle > 0:
-            tri_pdf = sample_triangle_light_pdf(
-                v.pos - pos,
-                scene.tri_pos[jnp.maximum(hit.tri_id, 0), 0] - pos,
-                scene.tri_pos[jnp.maximum(hit.tri_id, 0), 1] - pos,
-                scene.tri_pos[jnp.maximum(hit.tri_id, 0), 2] - pos,
-                cfg.tri_light_mode)
-            nee_tri = jnp.where(tri_hit & is_emissive_inst, tri_pdf, 0.0)
-            light = jnp.where((tri_hit & is_emissive_inst)[:, None],
-                              emission, light)
-            emission = jnp.where((tri_hit & is_emissive_inst)[:, None],
-                                 0.0, emission)
-        emission = jnp.where(tri_hit[:, None], emission, 0.0)
-        light = jnp.where(tri_hit[:, None], light, 0.0)
-
-        # point light hit
-        if see_lights:
-            pl_col = point_light_radiance(scene, jnp.maximum(lid, 0),
-                                          safe_view)
-            if cfg.nee.point > 0:
-                light = jnp.where(light_hit[:, None], pl_col, light)
-                nee_point = jnp.where(
-                    light_hit,
-                    sample_point_light_pdf(scene, jnp.maximum(lid, 0), pos),
-                    nee_point)
-            else:
-                emission = jnp.where(light_hit[:, None], pl_col, emission)
-
-        # miss: environment + directional lights
-        env_col, env_pdf = environment_radiance(scene, safe_view,
-                                                cfg.has_envmap)
-        dl_col, dl_pdf = directional_light_radiance(scene, safe_view)
-        if cfg.nee.directional > 0:
-            light = jnp.where(miss[:, None], light + dl_col, light)
-            nee_dir = jnp.where(miss, dl_pdf, nee_dir)
-        else:
-            emission = jnp.where(miss[:, None], emission + dl_col, emission)
-        if cfg.nee.envmap > 0:
-            light = jnp.where(miss[:, None], light + env_col, light)
-            nee_env = jnp.where(
-                miss, env_pdf if cfg.has_envmap else 0.0, nee_env)
-        else:
-            emission = jnp.where(miss[:, None], emission + env_col, emission)
-
-        terminal = ~tri_hit | (bounce == max_bounces - 1)
-        if cfg.direct_only and bounce > 0:
-            # direct renderer: secondary rays must not see emitters
-            light = jnp.zeros_like(light)
-            emission = jnp.zeros_like(emission)
-
-        # ---- MIS + emission accumulation -----------------------------
-        mis_pdf = bsdf_mis_pdf(cfg, scene, nee_point, nee_dir, nee_tri,
-                               nee_env, bsdf_pdf)
-        has_pdf = bsdf_pdf != 0
-        attenuation = jnp.where(
-            has_pdf[:, None],
-            attenuation / jnp.maximum(bsdf_pdf, 1e-30)[:, None],
-            attenuation)
-        mis_weight = jnp.where(has_pdf,
-                               bsdf_pdf / jnp.maximum(mis_pdf, 1e-30), 1.0)
-        contrib = attenuation * mis_weight[:, None] * (emission + light)
-        contrib = jnp.where(alive[:, None], contrib, 0.0)
-        if bounce != 0:
-            contrib = _clamp_contribution(cfg, contrib)
-        d_new, r_new = add_demodulated_color(primary_lobes, contrib,
-                                             diffuse[:, :3],
-                                             reflection[:, :3])
-        diffuse = jnp.concatenate([d_new, diffuse[:, 3:]], axis=-1)
-        reflection = jnp.concatenate([r_new, reflection[:, 3:]], axis=-1)
-
-        if bounce == 0:
-            first = dict(
-                vertex_pos=v.pos, vertex_prev_pos=v.prev_pos,
-                mapped_normal=jnp.where(tri_hit[:, None], v.mapped_normal,
-                                        -safe_view),
-                instance_id=jnp.where(tri_hit, v.instance_id, -1),
-                albedo=jnp.where(
-                    tri_hit[:, None], mat.albedo,
-                    jnp.where(light_hit[:, None],
-                              jnp.array([0.0, 0, 0, 1.0]), 0.0)),
-                metallic=jnp.where(tri_hit, mat.metallic, 1.0),
-                roughness=jnp.where(tri_hit, mat.roughness, 1.0),
-                emission=contrib,
-                miss=miss, light_hit=light_hit)
-
-        # ---- regularization ------------------------------------------
-        if cfg.regularization_gamma > 0:
-            reg_mul = jnp.maximum(
-                1 - cfg.regularization_gamma /
-                jnp.maximum(bsdf_pdf, 1e-30) ** 0.25, 0.0)
-            regularization = regularization * jnp.where(has_pdf, reg_mul, 1.0)
-            mat = mat._replace(
-                roughness=1.0 - (1.0 - mat.roughness) * regularization)
-
-        t, b, n = create_tangent_space(v.mapped_normal)
-        shading_view = view_to_tangent_space(safe_view, t, b, n)
-
-        # ---- NEE ------------------------------------------------------
         if cfg.nee.any:
-            seed, rand = rng_ops.generate_uniform_random_uint(seed)
-            if cfg.has_alpha_materials:
-                alpha_seed = rng_ops.pcg4d(alpha_seed)
-                nee_alpha_u = rng_ops.uint_to_float(alpha_seed[:, 0])
-            else:
-                nee_alpha_u = jnp.zeros(R, jnp.float32)
-            radiance, nee_lobes = next_event_estimation(
-                cfg, scene, bvh, rand, (t, b, n), shading_view, mat,
-                v.pos, v.hard_normal, nee_alpha_u)
-            radiance = attenuation * radiance
-            active_nee = alive & ~terminal
-            if bounce != 0:
-                radiance = radiance * modulate_bsdf(mat, nee_lobes)
-                radiance = _clamp_contribution(cfg, radiance)
-            else:
-                primary_lobes = BSDFLobes(*(
-                    jnp.where(active_nee, n_, p_)
-                    for n_, p_ in zip(nee_lobes, primary_lobes)))
-            radiance = jnp.where(active_nee[:, None], radiance, 0.0)
-            d_new, r_new = add_demodulated_color(
-                primary_lobes, radiance, diffuse[:, :3], reflection[:, :3])
-            diffuse = jnp.concatenate([d_new, diffuse[:, 3:]], axis=-1)
-            reflection = jnp.concatenate([r_new, reflection[:, 3:]], axis=-1)
-            if bounce == 1:
-                inv_dist = 1.0 / jnp.maximum(
-                    jnp.linalg.norm(v.pos - pos, axis=-1), 1e-30)
-                a = jnp.where(active_nee, inv_dist, diffuse[:, 3])
-                diffuse = jnp.concatenate([diffuse[:, :3], a[:, None]],
-                                          axis=-1)
-                reflection = jnp.concatenate([reflection[:, :3], a[:, None]],
-                                             axis=-1)
+            sh_o, sh_d, sh_len, nee_alpha_u = _nee_prep(
+                cfg, scene, seed, alpha_seed, hit, cur_pos, cur_view)
+            sh = trace_alpha(scene, bvh, sh_o, sh_d,
+                             jnp.full(R, cfg.min_ray_dist, jnp.float32),
+                             sh_len, nee_alpha_u, cfg.has_alpha_materials,
+                             any_hit=True)
+            vis = jnp.where(sh.tri_id < 0, 1.0, 0.0)
         else:
-            seed, _ = rng_ops.generate_uniform_random_uint(seed)
+            vis = jnp.ones(R, jnp.float32)
+        state, fh = _shade_bounce(cfg, scene, state, hit, vis,
+                                  jnp.int32(b_idx), is_first, max_bounces)
+        if is_first:
+            first = fh
+    return state[-2], state[-1], first
 
-        alive = alive & ~terminal
-        if bounce == max_bounces - 1:
-            break
 
-        # ---- next bounce ---------------------------------------------
-        seed, rand = rng_ops.generate_uniform_random_uint(seed)
-        ray_sample = rand.astype(jnp.float32) * \
-            jnp.float32(rng_ops.INV_UINT32_MAX)
-        out_dir_ts, lobes, bsdf_pdf = material_bsdf_sample(
-            ray_sample, shading_view, mat, cfg.bounce_mode)
-        new_view = from_tangent_space(out_dir_ts, t, b, n)
-        lobes = _correct_lobes_for_normal_map(v.hard_normal, new_view, lobes)
-
-        if bounce != 0:
-            attenuation = attenuation * modulate_bsdf(mat, lobes)
-        else:
-            primary_lobes = BSDFLobes(*(
-                jnp.where(alive, n_, p_)
-                for n_, p_ in zip(lobes, primary_lobes)))
-
-        pos = jnp.where(alive[:, None], v.pos, pos)
-        view = jnp.where(alive[:, None], new_view, view)
-
-        if cfg.russian_roulette_delta > 0:
-            qi = min(1.0, 1.0 / cfg.russian_roulette_delta)
-            alive = alive & (ray_sample[:, 3] <= qi)
-        alive = alive & (jnp.max(attenuation, axis=-1) > 0.0)
-
-    return diffuse, reflection, first
+def pt_trace_pass_inline(cfg: PTConfig, scene: DeviceScene, bvh,
+                        cam: CameraUniforms, prev_cam: CameraUniforms,
+                        pix_pos, vp, previous_samples):
+    """Jittable single-pass color (multi-chip path); averages
+    samples_per_pass samples like pt_trace_pass."""
+    R = pix_pos.shape[0]
+    sum_color = jnp.zeros((R, 3), jnp.float32)
+    first = None
+    for i in range(cfg.samples_per_pass):
+        seed, origin, d = _begin_sample(cfg, cam, pix_pos, vp,
+                                        previous_samples + i)
+        diffuse, refl, fh = evaluate_ray_inline(cfg, scene, bvh, seed,
+                                                origin, d)
+        color, _ = _finalize_sample(
+            cfg, prev_cam, vp, diffuse, refl, fh["albedo"], fh["metallic"],
+            fh["emission"], fh["vertex_prev_pos"])
+        sum_color = sum_color + color
+        if first is None:
+            first = fh
+    sum_color = sum_color / cfg.samples_per_pass
+    if cfg.transparent_background:
+        alpha = first["albedo"][:, 3]
+    else:
+        alpha = jnp.ones(R, jnp.float32)
+    return jnp.concatenate([sum_color, alpha[:, None]], axis=-1)
 
 
 def _film_offset(cfg: PTConfig, seed):
@@ -524,18 +703,12 @@ def _film_offset(cfg: PTConfig, seed):
     return seed, off * (2.0 * cfg.film_radius)
 
 
-def pt_trace_pass(cfg: PTConfig, scene: DeviceScene, bvh: DeviceBVH,
-                  cam: CameraUniforms, prev_cam: CameraUniforms,
-                  pix_pos, vp, previous_samples) -> PTOutput:
-    """One pass of `samples_per_pass` samples per pixel, averaged
-    (reference: shader/path_tracer.rgen main)."""
-    R = pix_pos.shape[0]
+@partial(jax.jit, static_argnames=("cfg",))
+def _begin_sample(cfg: PTConfig, cam: CameraUniforms, pix_pos, vp,
+                  prev_plus_i):
+    """Sampler init + film/DoF sampling + camera ray generation
+    (reference: shader/path_tracer.rgen main + get_world_camera_ray)."""
     size = jnp.array([cfg.width, cfg.height], jnp.float32)
-
-    sum_color = jnp.zeros((R, 3), jnp.float32)
-    sum_diffuse = jnp.zeros((R, 4), jnp.float32)
-    sum_reflection = jnp.zeros((R, 4), jnp.float32)
-    first = None
     rng_seed_hash = 0
     if cfg.rng_seed != 0:
         import numpy as _np
@@ -544,47 +717,74 @@ def pt_trace_pass(cfg: PTConfig, scene: DeviceScene, bvh: DeviceBVH,
         s = ((s >> _np.uint32((s >> _np.uint32(28)) + _np.uint32(4))) ^ s) \
             * _np.uint32(277803737)
         rng_seed_hash = int((s >> _np.uint32(22)) ^ s)
+    coord = jnp.stack([
+        pix_pos[:, 0].astype(jnp.uint32),
+        pix_pos[:, 1].astype(jnp.uint32),
+        (vp + rng_seed_hash).astype(jnp.uint32),
+        prev_plus_i.astype(jnp.uint32)], axis=-1)
+    seed = rng_ops.init_random_sampler(coord)
+    seed, film_off = _film_offset(cfg, seed)
+    if cfg.use_dof:
+        seed, rand = rng_ops.generate_uniform_random_uint(seed)
+        dof_u = rng_ops.uint_to_float(rand[..., :2])
+    else:
+        dof_u = None
+    origin, d = get_screen_camera_ray(cam, vp, pix_pos, size,
+                                      pixel_offset=film_off, dof_u=dof_u)
+    # payload.random_seed draw (reference: evaluate_ray first line)
+    seed, _ = rng_ops.generate_uniform_random_uint(seed)
+    return seed, origin, d
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _finalize_sample(cfg: PTConfig, prev_cam: CameraUniforms, vp, diffuse,
+                     refl, fh_albedo, fh_metallic, fh_emission,
+                     fh_prev_pos):
+    """Per-sample color modulation (reference: shader/path_tracer.rgen
+    sum_color) + screen motion projection."""
+    from ..ops.shading import get_camera_projection
+    R = diffuse.shape[0]
+    if cfg.use_white_albedo_on_first_bounce:
+        albedo = jnp.concatenate(
+            [jnp.ones((R, 3), jnp.float32), fh_albedo[:, 3:]], axis=-1)
+    else:
+        albedo = fh_albedo
+
+    class _M:
+        pass
+    m = _M()
+    m.albedo = albedo
+    m.metallic = fh_metallic
+    color = fh_emission + modulate_color(m, diffuse[:, :3], refl[:, :3])
+    screen_motion = get_camera_projection(prev_cam, vp, fh_prev_pos)
+    return color, screen_motion
+
+
+def pt_trace_pass(cfg: PTConfig, scene: DeviceScene, bvh: DeviceBVH,
+                  cam: CameraUniforms, prev_cam: CameraUniforms,
+                  pix_pos, vp, previous_samples) -> PTOutput:
+    """One pass of `samples_per_pass` samples per pixel, averaged
+    (reference: shader/path_tracer.rgen main). Host-orchestrated wavefront;
+    every jitted sub-program is shared across samples and bounces."""
+    R = pix_pos.shape[0]
+    sum_color = jnp.zeros((R, 3), jnp.float32)
+    sum_diffuse = jnp.zeros((R, 4), jnp.float32)
+    sum_reflection = jnp.zeros((R, 4), jnp.float32)
+    first = None
 
     for i in range(cfg.samples_per_pass):
-        coord = jnp.stack([
-            pix_pos[:, 0].astype(jnp.uint32),
-            pix_pos[:, 1].astype(jnp.uint32),
-            (vp + rng_seed_hash).astype(jnp.uint32),
-            (previous_samples + i).astype(jnp.uint32)], axis=-1)
-        seed = rng_ops.init_random_sampler(coord)
-
-        seed, film_off = _film_offset(cfg, seed)
-        if cfg.use_dof:
-            seed, rand = rng_ops.generate_uniform_random_uint(seed)
-            dof_u = rng_ops.uint_to_float(rand[..., :2])
-        else:
-            dof_u = None
-        origin, d = get_screen_camera_ray(cam, vp, pix_pos, size,
-                                          pixel_offset=film_off, dof_u=dof_u)
-        # payload.random_seed = pcg4d(seed).x consumed first
-        seed, _ = rng_ops.generate_uniform_random_uint(seed)
+        seed, origin, d = _begin_sample(cfg, cam, pix_pos, vp,
+                                        previous_samples + i)
         diffuse, refl, fh = evaluate_ray(cfg, scene, bvh, seed, origin, d)
-
-        albedo = fh["albedo"]
-        if cfg.use_white_albedo_on_first_bounce:
-            white = jnp.concatenate(
-                [jnp.ones((R, 3), jnp.float32), albedo[:, 3:]], axis=-1)
-            mat_for_mod = white
-        else:
-            mat_for_mod = albedo
-
-        class _M:  # minimal mat view for modulate_color
-            pass
-        m = _M()
-        m.albedo = mat_for_mod
-        m.metallic = fh["metallic"]
-        color = fh["emission"] + modulate_color(m, diffuse[:, :3],
-                                                refl[:, :3])
+        color, screen_motion = _finalize_sample(
+            cfg, prev_cam, vp, diffuse, refl, fh["albedo"], fh["metallic"],
+            fh["emission"], fh["vertex_prev_pos"])
         sum_color = sum_color + color
         sum_diffuse = sum_diffuse + diffuse
         sum_reflection = sum_reflection + refl
         if first is None:
             first = fh
+            first_motion = screen_motion
 
     inv = 1.0 / cfg.samples_per_pass
     sum_color = sum_color * inv
@@ -596,10 +796,6 @@ def pt_trace_pass(cfg: PTConfig, scene: DeviceScene, bvh: DeviceBVH,
     else:
         alpha = jnp.ones(R, jnp.float32)
 
-    from ..ops.shading import get_camera_projection
-    screen_motion = get_camera_projection(prev_cam, vp,
-                                          first["vertex_prev_pos"])
-
     return PTOutput(
         color=jnp.concatenate([sum_color, alpha[:, None]], axis=-1),
         diffuse=sum_diffuse,
@@ -607,7 +803,7 @@ def pt_trace_pass(cfg: PTConfig, scene: DeviceScene, bvh: DeviceBVH,
         first_albedo=first["albedo"],
         first_normal=first["mapped_normal"],
         first_pos=first["vertex_pos"],
-        first_screen_motion=screen_motion,
+        first_screen_motion=first_motion,
         first_instance=first["instance_id"],
         first_metallic_roughness=jnp.stack(
             [first["metallic"], first["roughness"]], axis=-1))

@@ -35,7 +35,7 @@ def _reinhard_luminance(c):
     return c / (1.0 + lum)
 
 
-@partial(jax.jit, static_argnames=("operator",))
+@partial(jax.jit, static_argnames=("operator", "exposure", "gamma"))
 def tonemap(img: jnp.ndarray, operator: str = "filmic", exposure: float = 1.0,
             gamma: float = 2.2) -> jnp.ndarray:
     """img: (..., 4) RGBA linear; returns display-ready values."""
