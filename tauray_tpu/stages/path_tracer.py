@@ -513,8 +513,46 @@ def _advance_alpha(alpha_seed):
     return rng_ops.uint_to_float(a2[:, 0])
 
 
-@partial(jax.jit, static_argnames=())
-def _alpha_skip(scene: DeviceScene, t, tri_id, u, v, cutoff, t_min):
+@partial(jax.jit, static_argnames=("has_alpha", "any_hit", "rounds"))
+def _trace_alpha_program(scene: DeviceScene, tracer, o, d, t_min, t_max,
+                         alpha_u, has_alpha: bool, any_hit: bool = False,
+                         rounds: int = 4):
+    """Alpha-tested trace as ONE device program: a `while_loop` re-traces
+    past transparent hits only while any ray actually needs it — device-side
+    early exit, zero host syncs (the tunnel round-trip would otherwise
+    serialize every bounce)."""
+    R = o.shape[0]
+    t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (R,))
+    t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (R,))
+    hit = tracer.trace(o, d, t_min, t_max, any_hit=any_hit)
+    if not has_alpha:
+        return hit
+    cutoff = jnp.broadcast_to(jnp.asarray(alpha_u, jnp.float32), (R,))
+
+    def needs_work(carry):
+        k, t, tri_id, u, v, tmin_cur = carry
+        skip, _, any_skip = _alpha_skip_impl(scene, t, tri_id, u, v, cutoff,
+                                             tmin_cur)
+        return any_skip & (k < rounds)
+
+    def body(carry):
+        k, t, tri_id, u, v, tmin_cur = carry
+        skip, new_tmin, _ = _alpha_skip_impl(scene, t, tri_id, u, v, cutoff,
+                                             tmin_cur)
+        rehit = tracer.trace(o, d, new_tmin, t_max, any_hit=any_hit)
+        t = jnp.where(skip, rehit.t, t)
+        tri_id = jnp.where(skip, rehit.tri_id, tri_id)
+        u = jnp.where(skip, rehit.u, u)
+        v = jnp.where(skip, rehit.v, v)
+        return (k + 1, t, tri_id, u, v, new_tmin)
+
+    carry = (jnp.int32(0), hit.t, hit.tri_id, hit.u, hit.v, t_min)
+    carry = jax.lax.while_loop(needs_work, body, carry)
+    from ..ops.intersect import Hit
+    return Hit(carry[1], carry[2], carry[3], carry[4])
+
+
+def _alpha_skip_impl(scene, t, tri_id, u, v, cutoff, t_min):
     from ..ops.trace_utils import _hit_alpha
     valid = tri_id >= 0
     inst = jnp.maximum(scene.tri_instance[jnp.maximum(tri_id, 0)], 0)
@@ -525,38 +563,11 @@ def _alpha_skip(scene: DeviceScene, t, tri_id, u, v, cutoff, t_min):
     return skip, new_tmin, jnp.any(skip)
 
 
-@jax.jit
-def _merge_hit(skip, hit, rehit):
-    from ..ops.intersect import Hit
-    return Hit(
-        t=jnp.where(skip, rehit.t, hit.t),
-        tri_id=jnp.where(skip, rehit.tri_id, hit.tri_id),
-        u=jnp.where(skip, rehit.u, hit.u),
-        v=jnp.where(skip, rehit.v, hit.v))
-
-
 def host_trace_alpha(scene, tracer, o, d, t_min, t_max, alpha_u,
                      has_alpha: bool, any_hit: bool = False,
                      rounds: int = 6):
-    """Host-orchestrated alpha-tested trace: re-traces only when a
-    transparent hit actually occurred (one host sync per round, with early
-    exit — in opaque regions this is a single traversal)."""
-    R = o.shape[0]
-    t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (R,))
-    t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (R,))
-    hit = tracer.trace(o, d, t_min, t_max, any_hit=any_hit)
-    if not has_alpha:
-        return hit
-    cutoff = jnp.broadcast_to(jnp.asarray(alpha_u, jnp.float32), (R,))
-    for _ in range(rounds):
-        skip, new_tmin, any_skip = _alpha_skip(
-            scene, hit.t, hit.tri_id, hit.u, hit.v, cutoff, t_min)
-        if not bool(any_skip):
-            break
-        rehit = tracer.trace(o, d, new_tmin, t_max, any_hit=any_hit)
-        hit = _merge_hit(skip, hit, rehit)
-        t_min = new_tmin
-    return hit
+    return _trace_alpha_program(scene, tracer, o, d, t_min, t_max, alpha_u,
+                                has_alpha, any_hit, rounds)
 
 
 def _run_bounce(cfg: PTConfig, scene: DeviceScene, tracer, state, b_idx,
@@ -609,9 +620,8 @@ def evaluate_ray(cfg: PTConfig, scene: DeviceScene, bvh: DeviceBVH,
 
     state, first = _run_bounce(cfg, scene, bvh, state, 0, True, max_bounces)
     for b_idx in range(1, max_bounces):
-        alive = state[11]
-        if not bool(jnp.any(alive)):
-            break
+        # no host-side alive check: it would block the async dispatch
+        # pipeline; dead rays are masked inside the programs
         state, _ = _run_bounce(cfg, scene, bvh, state, b_idx, False,
                                max_bounces)
     diffuse = state[-2]
