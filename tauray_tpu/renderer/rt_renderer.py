@@ -96,6 +96,12 @@ class PathTracerRenderer(Renderer):
         self._n_rays = R
         self._pix = jnp.asarray(pix)
         self._vp = jnp.asarray(vp)
+        # post-processing pipeline (reprojection / denoiser / TAA / tonemap)
+        from .post_processing import PostProcessingPipeline
+        self.post = PostProcessingPipeline(opt, W, H, V)
+        self.use_post = (self.post.use_svgf or self.post.use_bmfr or
+                         self.post.use_taa or
+                         self.post.use_temporal_reprojection)
 
     def update_frame(self):
         self.arrays.update(keep_prev=True)
@@ -122,6 +128,7 @@ class PathTracerRenderer(Renderer):
         sample_base = self.samples_accumulated
         n_chunks = self._pix.shape[0] // self.rays_per_call
         color = None
+        gchunks = []
         for p in range(n_passes):
             prev = jnp.uint32(sample_base + p * self.samples_per_pass)
             chunks = []
@@ -133,6 +140,8 @@ class PathTracerRenderer(Renderer):
                                    prev_cam, self._pix[s], self._vp[s],
                                    prev_arr)
                 chunks.append(out.color)
+                if self.use_post and p == n_passes - 1:
+                    gchunks.append(out)
             pass_color = jnp.concatenate(chunks)[:self._n_rays]
             if color is None and sample_base == 0 and p == 0:
                 color = pass_color
@@ -146,9 +155,31 @@ class PathTracerRenderer(Renderer):
         self.samples_accumulated = sample_base + self.samples_per_pixel
         self._last_out = out
         self._prev_cam = cam
-
-        img = color.reshape(cfg.n_views, cfg.height, cfg.width, 4)
-        img = tonemap(img, self.opt.tonemap, self.opt.exposure,
-                      self.opt.gamma)
         self.frame_counter += 1
+
+        V, H, W = cfg.n_views, cfg.height, cfg.width
+        if self.use_post:
+            def cat(field, C):
+                x = jnp.concatenate([getattr(o, field) for o in gchunks])
+                return x[:self._n_rays].reshape(V, H, W, C)
+            pos = cat("first_pos", 3)
+            view_z = jnp.einsum(
+                "vhwj,vj->vhw", pos, jnp.asarray(cam.view[:, 2, :3])) + \
+                jnp.asarray(cam.view[:, 2, 3])[:, None, None]
+            gbuf = dict(
+                color=color.reshape(V, H, W, 4),
+                diffuse=cat("diffuse", 4),
+                reflection=cat("reflection", 4),
+                albedo=cat("first_albedo", 4),
+                normal=cat("first_normal", 3),
+                pos=pos,
+                screen_motion=cat("first_screen_motion", 3),
+                metallic_roughness=cat("first_metallic_roughness", 2),
+                emission=cat("first_emission", 3),
+                view_z=-view_z)
+            img = self.post.process(gbuf)
+        else:
+            img = color.reshape(V, H, W, 4)
+            img = tonemap(img, self.opt.tonemap, self.opt.exposure,
+                          self.opt.gamma)
         return np.asarray(jax.device_get(img))

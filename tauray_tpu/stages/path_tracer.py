@@ -88,6 +88,7 @@ class PTOutput(NamedTuple):
     first_screen_motion: jnp.ndarray  # (R, 3)
     first_instance: jnp.ndarray    # (R,) i32
     first_metallic_roughness: jnp.ndarray  # (R, 2)
+    first_emission: jnp.ndarray    # (R, 3)
 
 
 def _mis_pdf_pair(cfg: PTConfig, a, b):
@@ -816,7 +817,8 @@ def pt_trace_pass(cfg: PTConfig, scene: DeviceScene, bvh: DeviceBVH,
         first_screen_motion=first_motion,
         first_instance=first["instance_id"],
         first_metallic_roughness=jnp.stack(
-            [first["metallic"], first["roughness"]], axis=-1))
+            [first["metallic"], first["roughness"]], axis=-1),
+        first_emission=first["emission"])
 
 
 def accumulate(new, prev, samples, previous_samples):
