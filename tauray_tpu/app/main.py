@@ -126,9 +126,9 @@ def create_renderer(opt: Options, s: Scene):
         return ReSTIRRenderer(opt, hybrid=(r == "restir-hybrid"))
     if r in ("dshgi", "dshgi-client"):
         from ..renderer.dshgi_renderer import DSHGIRenderer
-        return DSHGIRenderer(opt)
+        return DSHGIRenderer(opt, remote=(r == "dshgi-client"))
     if r == "dshgi-server":
-        from ..net.dshgi_server import DSHGIServer
+        from ..renderer.dshgi_renderer import DSHGIServer
         return DSHGIServer(opt)
     raise ValueError(f"Renderer {r} not implemented yet")
 

@@ -170,9 +170,8 @@ def _trace_padded(tracer: ClusterTracer, o, d, t_min, t_max) -> Hit:
     C = tracer.n_clusters
     n_chunks = R // (TILE * TILE_CHUNK)
 
-    def chunk_fn(args):
+    def chunk_fn(args, G=TILE_CHUNK):
         co, cd, ctmin, ctmax = args
-        G = TILE_CHUNK
         ro = co.reshape(G, TILE, 3)
         rd = cd.reshape(G, TILE, 3)
         rtmin = ctmin.reshape(G, TILE)
@@ -225,6 +224,12 @@ def _trace_padded(tracer: ClusterTracer, o, d, t_min, t_max) -> Hit:
         return (best_t.reshape(-1), best_id.reshape(-1),
                 best_u.reshape(-1), best_v.reshape(-1))
 
+    # One flat wave when the intermediates fit comfortably (shallower
+    # program: faster compile, no serial chunk loop); otherwise bound
+    # temp memory with lax.map over chunks.
+    if R <= 64 * 1024:
+        t, tid, u, v = chunk_fn((o, d, t_min, t_max), G=R // TILE)
+        return Hit(t, tid, u, v)
     rsh = TILE * TILE_CHUNK
     t, tid, u, v = jax.lax.map(
         chunk_fn, (o.reshape(n_chunks, rsh, 3), d.reshape(n_chunks, rsh, 3),

@@ -1,0 +1,64 @@
+"""DSHGI renderers (reference: src/dshgi_renderer.cc, src/dshgi_server.cc).
+
+* DSHGIRenderer = raster renderer + SH probe source (local SHRenderer, or
+  a network DSHGIClient when --renderer=dshgi-client).
+* DSHGIServer = headless probe-update service publishing grids over ZMQ
+  (reference: dshgi_server render loop, src/tauray.cc:1134-1167).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..log import TR_LOG
+from .raster_renderer import RasterRenderer
+from .sh_renderer import SHRenderer
+
+
+class DSHGIRenderer(RasterRenderer):
+    def __init__(self, opt, remote: bool = False):
+        if remote:
+            from ..net.dshgi import DSHGIClient
+            src = DSHGIClient(opt.connect)
+        else:
+            src = SHRenderer(opt)
+        super().__init__(opt, sh_source=src)
+
+
+class DSHGIServer:
+    """Renderer-shaped service: each render() bakes probes and publishes
+    them; returns a placeholder frame (the server draws nothing)."""
+
+    def __init__(self, opt):
+        self.opt = opt
+        self.sh = SHRenderer(opt)
+        from ..net.dshgi import DSHGIServerTransport
+        self.transport = DSHGIServerTransport(opt.port)
+        self._host = None
+
+    def set_scene(self, scene):
+        # reuse the raster renderer's scene machinery for the device scene
+        from .raster_renderer import RasterRenderer
+        self._host = RasterRenderer(self.opt)
+        self._host.set_scene(scene)
+        self.scene = scene
+        self.arrays = self._host.arrays
+
+    def update_frame(self):
+        self._host.update_frame()
+
+    def reset_accumulation(self, keep_samples=False):
+        pass
+
+    def set_device_workloads(self, ratios):
+        pass
+
+    def get_timing(self):
+        return {}
+
+    def render(self) -> np.ndarray:
+        self.sh.step(self._host)
+        grids = self.sh.grid_payloads()
+        if grids:
+            self.transport.publish(grids)
+        return np.zeros((1, 1, 1, 4), np.float32)

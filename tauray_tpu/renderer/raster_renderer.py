@@ -1,0 +1,98 @@
+"""Raster renderer (reference: src/raster_renderer.cc: shadow maps →
+z-pass → forward raster → post-processing)."""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.cluster import build_cluster_tracer, refit_cluster_tracer
+from ..scene.device import to_camera_uniforms, to_device_scene
+from ..stages.raster import render_raster
+from ..stages.shadow_map import build_shadow_maps
+from ..stages.tonemap import tonemap
+from .base import Renderer
+from .post_processing import PostProcessingPipeline
+
+
+class RasterRenderer(Renderer):
+    def __init__(self, opt, sh_source=None):
+        super().__init__(opt)
+        self._prev_cam = None
+        self.sh_source = sh_source  # SHRenderer / DSHGIClient or None
+
+    def _scene_changed(self):
+        self.device_scene = to_device_scene(
+            self.arrays, self.opt.transparent_background)
+        self.bvh, self._perm = build_cluster_tracer(
+            self.arrays.tri_pos, self.arrays.tri_instance)
+        self._prev_cam = None
+        opt = self.opt
+        self.post = PostProcessingPipeline(opt, opt.width, opt.height,
+                                           len(self.viewports()))
+        self._build_shadow_maps()
+
+    def _build_shadow_maps(self):
+        opt = self.opt
+        center = self.arrays.tri_pos.reshape(-1, 3).mean(axis=0)
+        self.shadow_maps = build_shadow_maps(self.arrays, self.bvh, opt,
+                                             center)
+        # host-side light -> map-id table
+        if self.shadow_maps is not None:
+            idx = np.asarray(self.shadow_maps.light_index)
+            dir_ids = np.zeros(max(self.arrays.dir_count, 1), np.int32)
+            for i in range(self.arrays.dir_count):
+                m = np.nonzero(idx == -(i + 1))[0]
+                dir_ids[i] = m[0] if len(m) else 0
+            pt_base = np.zeros(max(self.arrays.point_count, 1), np.int32)
+            pt_nfaces = np.ones(max(self.arrays.point_count, 1), np.int32)
+            for i in range(self.arrays.point_count):
+                m = np.nonzero(idx == i)[0]
+                if len(m):
+                    pt_base[i] = m[0]
+                    pt_nfaces[i] = len(m)
+            self.map_table = (jnp.asarray(dir_ids), jnp.asarray(pt_base),
+                              jnp.asarray(pt_nfaces))
+        else:
+            self.map_table = (jnp.zeros(1, jnp.int32),
+                              jnp.zeros(1, jnp.int32),
+                              jnp.ones(1, jnp.int32))
+
+    def update_frame(self):
+        self.arrays.update(keep_prev=True)
+        self.device_scene = to_device_scene(
+            self.arrays, self.opt.transparent_background)
+        self.bvh = refit_cluster_tracer(self.bvh, self.arrays.tri_pos,
+                                        self._perm)
+        self._build_shadow_maps()
+
+    def _sh_data(self):
+        if self.sh_source is None:
+            return None
+        return self.sh_source.current_grid_data()
+
+    def render(self) -> np.ndarray:
+        opt = self.opt
+        if self.sh_source is not None:
+            self.sh_source.step(self)
+        vps = self.viewports()
+        cam = to_camera_uniforms(self.arrays.camera_uniforms(vps))
+        prev_cam = self._prev_cam if self._prev_cam is not None else cam
+        sh = self._sh_data()
+        gbuf = render_raster(
+            self.device_scene, self.bvh, cam, prev_cam, self.shadow_maps,
+            self.map_table, sh, opt.width, opt.height, len(vps),
+            np.asarray(opt.ambient, np.float32), opt.min_ray_dist,
+            self.shadow_maps is not None, max(opt.pcf, 1),
+            self.arrays.any_alpha_materials, opt.sh_order, sh is not None)
+        self._prev_cam = cam
+        if (self.post.use_svgf or self.post.use_bmfr or self.post.use_taa or
+                self.post.use_temporal_reprojection):
+            img = self.post.process(gbuf)
+        else:
+            img = tonemap(gbuf["color"], opt.tonemap, opt.exposure,
+                          opt.gamma)
+        return np.asarray(jax.device_get(img))

@@ -87,7 +87,7 @@ class PathTracerRenderer(Renderer):
         # program short (the remote TPU watchdog kills long kernels) and
         # doubles as the reference's pass batching for progress reporting
         # (reference: src/rt_stage.hh max_passes_per_command_buffer)
-        self.rays_per_call = min(32768, pix.shape[0])
+        self.rays_per_call = min(65536, pix.shape[0])
         R = pix.shape[0]
         padr = (-R) % self.rays_per_call
         if padr:

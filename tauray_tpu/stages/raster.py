@@ -1,0 +1,170 @@
+"""Forward "raster" stage (reference: src/raster_stage.cc,
+shader/forward.vert/.frag, shader/scene_raster.glsl).
+
+TPU-native rasterization: primary visibility is one camera-ray wave
+through the shared tracer (exactly the image a rasterizer would produce,
+without a splatting pipeline), then forward shading: analytic GGX per
+punctual light with shadow-map PCF visibility, plus indirect light from
+SH probe grids with an ambient fallback (reference:
+forward.frag eval_punctual_lights / eval_indirect_light)."""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.ggx import BSDFLobes, add_demodulated_color, ggx_bsdf, \
+    modulate_color
+from ..ops.sampling import (create_tangent_space, normalize,
+                            to_tangent_space, view_to_tangent_space)
+from ..ops.sh import eval_irradiance
+from ..ops.shading import (get_camera_projection, get_screen_camera_ray,
+                           interpolate_vertex, sample_material)
+from ..scene.device import CameraUniforms, DeviceScene
+from .shadow_map import ShadowMaps, pcf_visibility
+
+
+@partial(jax.jit, static_argnames=("width", "height", "n_views",
+                                   "has_shadow_maps", "pcf_samples",
+                                   "has_alpha", "sh_order", "has_sh"))
+def render_raster(scene: DeviceScene, bvh, cam: CameraUniforms,
+                  prev_cam: CameraUniforms, shadow_maps: Optional[ShadowMaps],
+                  map_table, sh_coefficients, width: int, height: int,
+                  n_views: int, ambient, min_ray_dist: float,
+                  has_shadow_maps: bool, pcf_samples: int, has_alpha: bool,
+                  sh_order: int = 2, has_sh: bool = False):
+    """Returns dict of G-buffer images, each (V, H, W, C)."""
+    from ..ops.trace_utils import trace_alpha
+    V, H, W = n_views, height, width
+    R = V * H * W
+    ys, xs = jnp.meshgrid(jnp.arange(H), jnp.arange(W), indexing="ij")
+    pix = jnp.tile(jnp.stack([xs.reshape(-1), ys.reshape(-1)], axis=-1),
+                   (V, 1))
+    vp = jnp.repeat(jnp.arange(V), H * W)
+    size = jnp.array([W, H], jnp.float32)
+
+    origin, d = get_screen_camera_ray(cam, vp, pix, size)
+    hit = trace_alpha(scene, bvh, origin, d,
+                      jnp.full(R, min_ray_dist, jnp.float32),
+                      jnp.full(R, jnp.inf, jnp.float32), 1e-4, has_alpha)
+    miss = hit.tri_id < 0
+    v = interpolate_vertex(scene, hit.tri_id, hit.u, hit.v, d)
+    mat, v = sample_material(scene, v)
+
+    t, b, n = create_tangent_space(v.mapped_normal)
+    shading_view = to_tangent_space(-d, t, b, n)
+
+    diffuse = jnp.zeros((R, 3), jnp.float32)
+    reflection = jnp.zeros((R, 3), jnp.float32)
+    n_dir = scene.dl_color.shape[0]
+    n_point = scene.pl_color.shape[0]
+
+    # directional lights (reference: forward.frag eval_punctual_lights)
+    for i in range(n_dir):
+        active = i < scene.directional_light_count
+        ldir = -scene.dl_dir[i]
+        lobes = ggx_bsdf(to_tangent_space(
+            jnp.broadcast_to(ldir, (R, 3)), t, b, n), shading_view, mat)
+        vis = jnp.ones(R, jnp.float32)
+        if has_shadow_maps:
+            dir_map_ids = map_table[0]
+            vis = pcf_visibility(
+                shadow_maps,
+                jnp.broadcast_to(dir_map_ids[i], (R,)).astype(jnp.int32),
+                v.pos, pcf_samples)
+        facing = jnp.sum(v.hard_normal * ldir, -1) > 0
+        vis = jnp.where(facing, vis, 0.0)
+        contrib = jnp.where(active, 1.0, 0.0) * vis
+        color = scene.dl_color[i] * contrib[:, None]
+        diffuse, reflection = add_demodulated_color(lobes, color, diffuse,
+                                                    reflection)
+
+    # point/spot lights
+    for i in range(n_point):
+        active = i < scene.point_light_count
+        from ..ops.lights import get_spotlight_intensity
+        lvec = scene.pl_pos[i] - v.pos
+        dist2 = jnp.sum(lvec * lvec, -1)
+        ldir = lvec / jnp.sqrt(jnp.maximum(dist2, 1e-20))[:, None]
+        spot = get_spotlight_intensity(scene.pl_dir_cutoff[i],
+                                       scene.pl_dir_falloff[i],
+                                       scene.pl_dir[i], ldir)
+        lcolor = spot[:, None] * scene.pl_color[i] / \
+            jnp.maximum(dist2, 1e-20)[:, None]
+        lobes = ggx_bsdf(to_tangent_space(ldir, t, b, n), shading_view, mat)
+        vis = jnp.ones(R, jnp.float32)
+        if has_shadow_maps:
+            _, pt_base, pt_nfaces = map_table
+            # cube faces ordered +x,-x,+y,-y,+z,-z (light -> point dir)
+            dd = -ldir
+            ax = jnp.argmax(jnp.abs(dd), axis=-1)
+            neg = jnp.take_along_axis(dd, ax[:, None], axis=-1)[:, 0] < 0
+            face = ax * 2 + neg.astype(jnp.int32)
+            mid = jnp.where(pt_nfaces[i] > 1, pt_base[i] + face,
+                            pt_base[i]).astype(jnp.int32)
+            vis = pcf_visibility(shadow_maps, mid, v.pos, pcf_samples)
+        facing = jnp.sum(v.hard_normal * ldir, -1) > 0
+        vis = jnp.where(facing, vis, 0.0)
+        color = lcolor * (jnp.where(active, 1.0, 0.0) * vis)[:, None]
+        diffuse, reflection = add_demodulated_color(lobes, color, diffuse,
+                                                    reflection)
+
+    # indirect: SH grid irradiance or ambient fallback
+    # (reference: forward.frag eval_indirect_light; trilinear probe
+    # interpolation like shader/spherical_harmonics.glsl sh lookup)
+    if has_sh:
+        coef_grid, world_to_local = sh_coefficients
+        local = jnp.einsum("ij,rj->ri", world_to_local[:3, :3], v.pos) + \
+            world_to_local[:3, 3]
+        rz, ry, rx = coef_grid.shape[:3]
+        res = jnp.array([rx, ry, rz], jnp.float32)
+        g = (local * 0.5 + 0.5) * res - 0.5     # grid-space coords
+        g0 = jnp.floor(g).astype(jnp.int32)
+        f = g - g0
+        coefs = 0.0
+        for dz in (0, 1):
+            for dy in (0, 1):
+                for dx in (0, 1):
+                    ix = jnp.clip(g0[:, 0] + dx, 0, rx - 1)
+                    iy = jnp.clip(g0[:, 1] + dy, 0, ry - 1)
+                    iz = jnp.clip(g0[:, 2] + dz, 0, rz - 1)
+                    w = (jnp.where(dx, f[:, 0], 1 - f[:, 0]) *
+                         jnp.where(dy, f[:, 1], 1 - f[:, 1]) *
+                         jnp.where(dz, f[:, 2], 1 - f[:, 2]))
+                    coefs = coefs + coef_grid[iz, iy, ix] * w[:, None, None]
+        E = eval_irradiance(coefs, v.mapped_normal, sh_order)
+        diffuse = diffuse + jnp.maximum(E, 0.0)
+    else:
+        diffuse = diffuse + jnp.asarray(ambient)[None, :]
+
+    rgb = modulate_color(mat, diffuse, reflection) + mat.emission
+    alpha = jnp.where(miss, 0.0, 1.0)
+    bg = jnp.broadcast_to(scene.env_factor[None, :3], (R, 3))
+    rgb = jnp.where(miss[:, None], bg, rgb)
+    color = jnp.concatenate([rgb, alpha[:, None]], axis=-1)
+
+    screen_motion = get_camera_projection(prev_cam, vp, v.prev_pos)
+    view_z = -(jnp.einsum("rj,rj->r",
+                          cam.view[vp][:, 2, :3], v.pos) +
+               cam.view[vp][:, 2, 3])
+
+    def r4(x, C):
+        return x.reshape(V, H, W, C)
+
+    return dict(
+        color=r4(color, 4),
+        diffuse=r4(jnp.concatenate(
+            [diffuse, jnp.ones((R, 1))], -1), 4),
+        reflection=r4(jnp.concatenate(
+            [reflection, jnp.ones((R, 1))], -1), 4),
+        albedo=r4(mat.albedo, 4),
+        normal=r4(jnp.where(miss[:, None], -d, v.mapped_normal), 3),
+        pos=r4(v.pos, 3),
+        screen_motion=r4(screen_motion, 3),
+        metallic_roughness=r4(jnp.stack([mat.metallic, mat.roughness],
+                                        -1), 2),
+        emission=r4(mat.emission, 3),
+        view_z=r4(view_z[:, None], 1)[..., 0])
