@@ -198,6 +198,18 @@ def replay_viewer(opt: Options, s: Scene):
     if not opt.frames and not is_animated:
         frame_count = 1
 
+    # camera parameter logs (reference: src/tauray.cc:1029,1119-1128)
+    from ..scene.camera import CameraLog
+    camera_logs = []
+    if opt.camera_log:
+        for e in s.entities:
+            if e.camera is not None and e.camera_enabled:
+                camera_logs.append(CameraLog(e.transform, e.camera))
+
+    from ..progress import ProgressTracker
+    progress = ProgressTracker(frame_count or 1,
+                               enabled=opt.progress and frame_count)
+
     rr = create_renderer(opt, s)
     rr.set_scene(s)
     for _ in range(opt.warmup_frames):
@@ -214,6 +226,8 @@ def replay_viewer(opt: Options, s: Scene):
             break
         dt = 0 if i == 0 else update_dt
         anim.update(s, dt, True)
+        for clog in camera_logs:
+            clog.frame(dt)
         if not opt.skip_render and i >= opt.skip_frames:
             tracing.begin_frame()
             if hasattr(rr, "update_frame") and i > 0:
@@ -225,9 +239,14 @@ def replay_viewer(opt: Options, s: Scene):
                 tracing.print_last_trace()
             if out is not None:
                 out.save_frame(img)
+        progress.step()
         i += 1
     if out is not None:
         out.finish()
+    if opt.camera_log:
+        for i, clog in enumerate(camera_logs):
+            name = opt.camera_log + (str(i) if len(camera_logs) != 1 else "")
+            clog.write(name + ".json")
     tracing.finish()
 
 

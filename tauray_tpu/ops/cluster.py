@@ -69,7 +69,12 @@ class ClusterTracer:
         return cls(*children, *aux)
 
     # ------------------------------------------------------------------
-    def trace(self, origins, dirs, t_min, t_max, any_hit: bool = False) -> Hit:
+    def trace(self, origins, dirs, t_min, t_max, any_hit: bool = False,
+              sort_rays: bool = True) -> Hit:
+        """sort_rays: reorder rays by (direction octant, origin Morton)
+        before tiling — incoherent bounce/shadow waves otherwise activate
+        nearly every cluster in every tile (the TPU analogue of GPU
+        wavefront ray sorting)."""
         o = jnp.asarray(origins, jnp.float32)
         d = jnp.asarray(dirs, jnp.float32)
         R = o.shape[0]
@@ -81,7 +86,17 @@ class ClusterTracer:
             d = jnp.concatenate([d, jnp.ones((pad, 3), d.dtype)])
             t_min = jnp.concatenate([t_min, jnp.ones(pad, jnp.float32)])
             t_max = jnp.concatenate([t_max, jnp.zeros(pad, jnp.float32)])
-        hit = _trace_padded(self, o, d, t_min, t_max)
+        if sort_rays:
+            key = _ray_sort_key(o, d, self.cmin.min(axis=0),
+                                self.cmax.max(axis=0))
+            perm = jnp.argsort(key)
+            hit = _trace_padded(self, o[perm], d[perm], t_min[perm],
+                                t_max[perm])
+            inv = jnp.zeros_like(perm).at[perm].set(
+                jnp.arange(perm.shape[0], dtype=perm.dtype))
+            hit = Hit(*(x[inv] for x in hit))
+        else:
+            hit = _trace_padded(self, o, d, t_min, t_max)
         t, tid, u, v = (x[:R] for x in hit)
         tid = jnp.where(tid >= 0, self.to_orig[jnp.maximum(tid, 0)], -1)
         return Hit(t, tid, u, v)
@@ -140,28 +155,82 @@ def refit_cluster_tracer(tracer: ClusterTracer, tri_pos, perm
                          cmin, cmax, C)
 
 
-def _slab_hit(o, inv_d, t_min, t_max, bmin, bmax):
-    """o/inv_d: (..., 1, 3); bmin/bmax: (C, 3) → (..., C) bool."""
-    t0 = (bmin - o) * inv_d
-    t1 = (bmax - o) * inv_d
-    tn = jnp.minimum(t0, t1).max(axis=-1)
-    tf = jnp.maximum(t0, t1).min(axis=-1)
-    return (tf >= jnp.maximum(tn, t_min)) & (tn <= t_max)
+def _morton10_jnp(x):
+    """10-bit-per-axis Morton code, jnp (same bit spreading as
+    ops/bvh.morton_3d)."""
+    x = x.astype(jnp.uint32) & jnp.uint32(0x3FF)
+    x = (x ^ (x << 16)) & jnp.uint32(0xFF0000FF)
+    x = (x ^ (x << 8)) & jnp.uint32(0x0300F00F)
+    x = (x ^ (x << 4)) & jnp.uint32(0x030C30C3)
+    x = (x ^ (x << 2)) & jnp.uint32(0x09249249)
+    return x[..., 0] + 2 * x[..., 1] + 4 * x[..., 2]
+
+
+def _ray_sort_key(o, d, scene_min, scene_max):
+    """Coherence key: direction octant (top 3 bits) then origin Morton."""
+    octant = ((d[:, 0] > 0).astype(jnp.uint32) |
+              ((d[:, 1] > 0).astype(jnp.uint32) << 1) |
+              ((d[:, 2] > 0).astype(jnp.uint32) << 2))
+    ext = jnp.maximum(scene_max - scene_min, 1e-6)
+    g = jnp.clip((o - scene_min) / ext * 1023.0, 0, 1023).astype(jnp.uint32)
+    return (octant << jnp.uint32(29)) | (_morton10_jnp(g) >> jnp.uint32(1))
+
+
+def _slab_hit_soa(ox, oy, oz, ix, iy, iz, t_min, t_max, bmin, bmax):
+    """SoA slab test: o*/i* are (G, 1, TILE); bmin/bmax (C, 3) broadcast to
+    (G, C, 1). Returns (G, C, TILE) bool. Component-separated layout keeps
+    the 128-wide ray dimension in vector lanes (a packed (..., 3) layout
+    wastes 125/128 lanes on TPU)."""
+    res_tn = None
+    res_tf = None
+    for oc, ic, k in ((ox, ix, 0), (oy, iy, 1), (oz, iz, 2)):
+        t0 = (bmin[None, :, k, None] - oc) * ic
+        t1 = (bmax[None, :, k, None] - oc) * ic
+        tn = jnp.minimum(t0, t1)
+        tf = jnp.maximum(t0, t1)
+        res_tn = tn if res_tn is None else jnp.maximum(res_tn, tn)
+        res_tf = tf if res_tf is None else jnp.minimum(res_tf, tf)
+    return (res_tf >= jnp.maximum(res_tn, t_min)) & (res_tn <= t_max)
 
 
 def _mt_block(o, d, t_min, t_max, v0, e1, e2):
-    """(G, TILE, 3) rays × (G, K, 3) tris → (G, TILE, K) t/u/v/hit."""
-    h = jnp.cross(d[:, :, None, :], e2[:, None, :, :])
-    a = jnp.sum(e1[:, None, :, :] * h, axis=-1)
+    """Möller–Trumbore, SoA-component form.
+
+    o/d: (G, TILE, 3) rays; v0/e1/e2: (G, K, 3) triangles.
+    Returns (t, u, v, hit) as (G, K, TILE) — ray dim stays in lanes."""
+    def rc(x, k):   # ray component -> (G, 1, TILE)
+        return x[:, None, :, k]
+
+    def tc(x, k):   # tri component -> (G, K, 1)
+        return x[:, :, k, None]
+
+    dx, dy, dz = (rc(d, 0), rc(d, 1), rc(d, 2))
+    ox, oy, oz = (rc(o, 0), rc(o, 1), rc(o, 2))
+    e1x, e1y, e1z = (tc(e1, 0), tc(e1, 1), tc(e1, 2))
+    e2x, e2y, e2z = (tc(e2, 0), tc(e2, 1), tc(e2, 2))
+    v0x, v0y, v0z = (tc(v0, 0), tc(v0, 1), tc(v0, 2))
+
+    # h = cross(d, e2)
+    hx = dy * e2z - dz * e2y
+    hy = dz * e2x - dx * e2z
+    hz = dx * e2y - dy * e2x
+    a = e1x * hx + e1y * hy + e1z * hz
     f = jnp.where(a != 0, 1.0 / jnp.where(a == 0, 1.0, a), 0.0)
-    s = o[:, :, None, :] - v0[:, None, :, :]
-    u = f * jnp.sum(s * h, axis=-1)
-    q = jnp.cross(s, e1[:, None, :, :])
-    v = f * jnp.sum(d[:, :, None, :] * q, axis=-1)
-    t = f * jnp.sum(e2[:, None, :, :] * q, axis=-1)
+    sx = ox - v0x
+    sy = oy - v0y
+    sz = oz - v0z
+    u = f * (sx * hx + sy * hy + sz * hz)
+    # q = cross(s, e1)
+    qx = sy * e1z - sz * e1y
+    qy = sz * e1x - sx * e1z
+    qz = sx * e1y - sy * e1x
+    v = f * (dx * qx + dy * qy + dz * qz)
+    t = f * (e2x * qx + e2y * qy + e2z * qz)
+    tmin_b = t_min[:, None, :]
+    tmax_b = t_max[:, None, :]
     hit = (a != 0) & (u >= 0) & (v >= 0) & (u + v <= 1) & \
-        (t >= t_min[:, :, None]) & (t < t_max[:, :, None])
-    return t, u, v, hit
+        (t >= tmin_b) & (t < tmax_b)
+    return t, u, v, hit  # all (G, K, TILE)
 
 
 @jax.jit
@@ -178,11 +247,13 @@ def _trace_padded(tracer: ClusterTracer, o, d, t_min, t_max) -> Hit:
         rtmax = ctmax.reshape(G, TILE)
         inv_d = jnp.where(rd == 0, jnp.float32(3e38),
                           1.0 / jnp.where(rd == 0, 1.0, rd))
-        # phase 1: (G, TILE, C) slab tests -> (G, C) tile activity
-        hit_c = _slab_hit(ro[:, :, None, :], inv_d[:, :, None, :],
-                          rtmin[:, :, None], rtmax[:, :, None],
-                          tracer.cmin, tracer.cmax)      # (G, TILE, C)
-        active = jnp.any(hit_c, axis=1)                   # (G, C)
+        # phase 1: (G, C, TILE) slab tests -> (G, C) tile activity
+        hit_c = _slab_hit_soa(
+            ro[:, None, :, 0], ro[:, None, :, 1], ro[:, None, :, 2],
+            inv_d[:, None, :, 0], inv_d[:, None, :, 1], inv_d[:, None, :, 2],
+            rtmin[:, None, :], rtmax[:, None, :],
+            tracer.cmin, tracer.cmax)
+        active = jnp.any(hit_c, axis=2)                   # (G, C)
         counts = active.sum(axis=1)                       # (G,)
         # hit clusters first, ascending cluster index
         order = jnp.argsort(~active, axis=1, stable=True) # (G, C)
@@ -203,18 +274,22 @@ def _trace_padded(tracer: ClusterTracer, o, d, t_min, t_max) -> Hit:
             e2 = tracer.e2[cid]
             tvalid = tracer.tri_valid[cid]                # (G, K)
             t, u, v, hit = _mt_block(ro, rd, rtmin, best_t, v0, e1, e2)
-            hit = hit & tvalid[:, None, :] & valid_tile[:, None, None]
+            # (G, K, TILE); mask then reduce over K
+            hit = hit & tvalid[:, :, None] & valid_tile[:, None, None]
             t = jnp.where(hit, t, RAY_MAX_DIST)
-            arg = jnp.argmin(t, axis=2)                   # (G, TILE)
-            g_idx = jnp.arange(G)[:, None]
-            r_idx = jnp.arange(TILE)[None, :]
-            cand_t = t[g_idx, r_idx, arg]
+            arg = jnp.argmin(t, axis=1)                   # (G, TILE)
+            arg_e = arg[:, None, :]
+            cand_t = jnp.take_along_axis(t, arg_e, axis=1)[:, 0, :]
             closer = cand_t < best_t
             tri_global = cid[:, None] * CLUSTER + arg
             best_t = jnp.where(closer, cand_t, best_t)
             best_id = jnp.where(closer, tri_global, best_id)
-            best_u = jnp.where(closer, u[g_idx, r_idx, arg], best_u)
-            best_v = jnp.where(closer, v[g_idx, r_idx, arg], best_v)
+            best_u = jnp.where(
+                closer, jnp.take_along_axis(u, arg_e, axis=1)[:, 0, :],
+                best_u)
+            best_v = jnp.where(
+                closer, jnp.take_along_axis(v, arg_e, axis=1)[:, 0, :],
+                best_v)
             return (best_t, best_id, best_u, best_v)
 
         best = jax.lax.fori_loop(0, max_count, body, best)
@@ -224,12 +299,9 @@ def _trace_padded(tracer: ClusterTracer, o, d, t_min, t_max) -> Hit:
         return (best_t.reshape(-1), best_id.reshape(-1),
                 best_u.reshape(-1), best_v.reshape(-1))
 
-    # One flat wave when the intermediates fit comfortably (shallower
-    # program: faster compile, no serial chunk loop); otherwise bound
-    # temp memory with lax.map over chunks.
-    if R <= 64 * 1024:
-        t, tid, u, v = chunk_fn((o, d, t_min, t_max), G=R // TILE)
-        return Hit(t, tid, u, v)
+    # lax.map over fixed-size chunks: bounds temp memory AND keeps the
+    # program shallow — one compiled chunk body regardless of ray count
+    # (a flat single-wave variant compiled pathologically slowly on TPU).
     rsh = TILE * TILE_CHUNK
     t, tid, u, v = jax.lax.map(
         chunk_fn, (o.reshape(n_chunks, rsh, 3), d.reshape(n_chunks, rsh, 3),

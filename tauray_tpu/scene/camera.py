@@ -181,6 +181,33 @@ class Camera:
             projection_info=self.get_projection_info(), pan=pan)
 
 
+class CameraLog:
+    """Per-frame camera parameter log, exported as JSON
+    (reference: src/camera.hh:103-120 camera_log, src/tauray.cc:1119-1128).
+    """
+
+    def __init__(self, transform: Transformable, camera: "Camera"):
+        self.transform = transform
+        self.camera = camera
+        self.frames = []
+
+    def frame(self, dt_ticks: int):
+        view = np.linalg.inv(self.transform.get_global_transform())
+        self.frames.append(dict(
+            time_ticks=dt_ticks,
+            view=[float(x) for x in view.T.reshape(-1)]))  # column-major
+
+    def write(self, path: str):
+        import json
+        proj = (self.camera.get_projection_matrix()
+                if self.camera.type != EQUIRECTANGULAR else np.eye(4))
+        data = dict(
+            projection=[float(x) for x in np.asarray(proj).T.reshape(-1)],
+            frames=self.frames)
+        with open(path, "w") as f:
+            json.dump(data, f)
+
+
 def get_camera_jitter_sequence(length: int, size) -> List[np.ndarray]:
     """Halton(2,3)-based TAA jitter in NDC units (reference:
     src/tauray.cc get_camera_jitter_sequence)."""
