@@ -41,9 +41,11 @@ import numpy as np
 from .bvh import morton_3d
 from .intersect import RAY_MAX_DIST, Hit
 
-CLUSTER = 128       # triangles per cluster
+import os as _os
+
+CLUSTER = int(_os.environ.get("TAURAY_CLUSTER", "128"))  # tris per cluster
 TILE = 128          # rays per tile
-TILE_CHUNK = 64     # tiles processed together (bounds temp memory)
+TILE_CHUNK = int(_os.environ.get("TAURAY_TILE_CHUNK", "64"))
 
 
 @jax.tree_util.register_pytree_node_class
@@ -167,13 +169,15 @@ def _morton10_jnp(x):
 
 
 def _ray_sort_key(o, d, scene_min, scene_max):
-    """Coherence key: direction octant (top 3 bits) then origin Morton."""
+    """Coherence key: origin Morton (major) then direction octant (minor) —
+    tiles then cover small spatial regions, which bounds the union of
+    active clusters better than direction-major ordering."""
     octant = ((d[:, 0] > 0).astype(jnp.uint32) |
               ((d[:, 1] > 0).astype(jnp.uint32) << 1) |
               ((d[:, 2] > 0).astype(jnp.uint32) << 2))
     ext = jnp.maximum(scene_max - scene_min, 1e-6)
     g = jnp.clip((o - scene_min) / ext * 1023.0, 0, 1023).astype(jnp.uint32)
-    return (octant << jnp.uint32(29)) | (_morton10_jnp(g) >> jnp.uint32(1))
+    return (_morton10_jnp(g) << jnp.uint32(3)) | octant
 
 
 def _slab_hit_soa(ox, oy, oz, ix, iy, iz, t_min, t_max, bmin, bmax):
@@ -233,33 +237,49 @@ def _mt_block(o, d, t_min, t_max, v0, e1, e2):
     return t, u, v, hit  # all (G, K, TILE)
 
 
+KB = int(_os.environ.get("TAURAY_KB", "4"))  # clusters/iteration
+
+
 @jax.jit
 def _trace_padded(tracer: ClusterTracer, o, d, t_min, t_max) -> Hit:
     R = o.shape[0]
     C = tracer.n_clusters
-    n_chunks = R // (TILE * TILE_CHUNK)
+    n_tiles = R // TILE
+    n_chunks = max(R // (TILE * TILE_CHUNK), 1)
 
-    def chunk_fn(args, G=TILE_CHUNK):
-        co, cd, ctmin, ctmax = args
-        ro = co.reshape(G, TILE, 3)
-        rd = cd.reshape(G, TILE, 3)
-        rtmin = ctmin.reshape(G, TILE)
-        rtmax = ctmax.reshape(G, TILE)
-        inv_d = jnp.where(rd == 0, jnp.float32(3e38),
-                          1.0 / jnp.where(rd == 0, 1.0, rd))
-        # phase 1: (G, C, TILE) slab tests -> (G, C) tile activity
-        hit_c = _slab_hit_soa(
-            ro[:, None, :, 0], ro[:, None, :, 1], ro[:, None, :, 2],
-            inv_d[:, None, :, 0], inv_d[:, None, :, 1], inv_d[:, None, :, 2],
-            rtmin[:, None, :], rtmax[:, None, :],
-            tracer.cmin, tracer.cmax)
-        active = jnp.any(hit_c, axis=2)                   # (G, C)
-        counts = active.sum(axis=1)                       # (G,)
-        # hit clusters first, ascending cluster index
-        order = jnp.argsort(~active, axis=1, stable=True) # (G, C)
-        max_count = counts.max()
+    ro = o.reshape(n_tiles, TILE, 3)
+    rd = d.reshape(n_tiles, TILE, 3)
+    rtmin = t_min.reshape(n_tiles, TILE)
+    rtmax = t_max.reshape(n_tiles, TILE)
+    inv_d = jnp.where(rd == 0, jnp.float32(3e38),
+                      1.0 / jnp.where(rd == 0, 1.0, rd))
 
-        best_t = jnp.minimum(rtmax, RAY_MAX_DIST)
+    # ---- phase 1 (global): per-tile active-cluster lists ----------------
+    hit_c = _slab_hit_soa(
+        ro[:, None, :, 0], ro[:, None, :, 1], ro[:, None, :, 2],
+        inv_d[:, None, :, 0], inv_d[:, None, :, 1], inv_d[:, None, :, 2],
+        rtmin[:, None, :], rtmax[:, None, :],
+        tracer.cmin, tracer.cmax)                        # (n_tiles, C, TILE)
+    active = jnp.any(hit_c, axis=2)                      # (n_tiles, C)
+    counts = active.sum(axis=1)                          # (n_tiles,)
+    order = jnp.argsort(~active, axis=1, stable=True)    # active first
+
+    # ---- sort tiles by activity: each chunk gets a near-uniform trip
+    # count, so the per-chunk fori bound (= chunk max) tracks the mean
+    # instead of the global max ------------------------------------------
+    tile_order = jnp.argsort(counts)
+    ro = ro[tile_order]
+    rd = rd[tile_order]
+    rtmin = rtmin[tile_order]
+    rtmax = rtmax[tile_order]
+    order = order[tile_order]
+    counts_s = counts[tile_order]
+
+    def chunk_fn(args):
+        cro, crd, ctmin, ctmax, corder, ccounts = args
+        G = cro.shape[0]
+        steps = (ccounts.max() + KB - 1) // KB
+        best_t = jnp.minimum(ctmax, RAY_MAX_DIST)
         best = (best_t,
                 jnp.full((G, TILE), -1, jnp.int32),
                 jnp.zeros((G, TILE), jnp.float32),
@@ -267,43 +287,63 @@ def _trace_padded(tracer: ClusterTracer, o, d, t_min, t_max) -> Hit:
 
         def body(k, best):
             best_t, best_id, best_u, best_v = best
-            cid = order[:, k]                             # (G,)
-            valid_tile = k < counts                       # (G,)
-            v0 = tracer.v0[cid]                           # (G, K, 3)
-            e1 = tracer.e1[cid]
-            e2 = tracer.e2[cid]
-            tvalid = tracer.tri_valid[cid]                # (G, K)
-            t, u, v, hit = _mt_block(ro, rd, rtmin, best_t, v0, e1, e2)
-            # (G, K, TILE); mask then reduce over K
-            hit = hit & tvalid[:, :, None] & valid_tile[:, None, None]
+            slots = k * KB + jnp.arange(KB)              # (KB,)
+            cid = jnp.take_along_axis(
+                corder, jnp.broadcast_to(slots[None, :], (G, KB)),
+                axis=1)                                   # (G, KB)
+            slot_ok = slots[None, :] < ccounts[:, None]   # (G, KB)
+            v0 = tracer.v0[cid].reshape(G, KB * CLUSTER, 3)
+            e1 = tracer.e1[cid].reshape(G, KB * CLUSTER, 3)
+            e2 = tracer.e2[cid].reshape(G, KB * CLUSTER, 3)
+            tvalid = (tracer.tri_valid[cid] &
+                      slot_ok[..., None]).reshape(G, KB * CLUSTER)
+            t, u, v, hit = _mt_block(cro, crd, ctmin, best_t, v0, e1, e2)
+            hit = hit & tvalid[:, :, None]
             t = jnp.where(hit, t, RAY_MAX_DIST)
             arg = jnp.argmin(t, axis=1)                   # (G, TILE)
-            arg_e = arg[:, None, :]
-            cand_t = jnp.take_along_axis(t, arg_e, axis=1)[:, 0, :]
+            onehot = (jnp.arange(KB * CLUSTER)[None, :, None] ==
+                      arg[:, None, :])
+            cand_t = jnp.min(t, axis=1)
             closer = cand_t < best_t
-            tri_global = cid[:, None] * CLUSTER + arg
+            tri_local = arg % CLUSTER
+            kb_idx = arg // CLUSTER
+            tri_global = jnp.take_along_axis(cid, kb_idx, axis=1) *                 CLUSTER + tri_local
             best_t = jnp.where(closer, cand_t, best_t)
             best_id = jnp.where(closer, tri_global, best_id)
-            best_u = jnp.where(
-                closer, jnp.take_along_axis(u, arg_e, axis=1)[:, 0, :],
-                best_u)
-            best_v = jnp.where(
-                closer, jnp.take_along_axis(v, arg_e, axis=1)[:, 0, :],
-                best_v)
+            sel_u = jnp.sum(jnp.where(onehot, u, 0.0), axis=1)
+            sel_v = jnp.sum(jnp.where(onehot, v, 0.0), axis=1)
+            best_u = jnp.where(closer, sel_u, best_u)
+            best_v = jnp.where(closer, sel_v, best_v)
             return (best_t, best_id, best_u, best_v)
 
-        best = jax.lax.fori_loop(0, max_count, body, best)
+        best = jax.lax.fori_loop(0, steps, body, best)
         best_t, best_id, best_u, best_v = best
         miss = best_id < 0
         best_t = jnp.where(miss, RAY_MAX_DIST, best_t)
-        return (best_t.reshape(-1), best_id.reshape(-1),
-                best_u.reshape(-1), best_v.reshape(-1))
+        return best_t, best_id, best_u, best_v
 
-    # lax.map over fixed-size chunks: bounds temp memory AND keeps the
-    # program shallow — one compiled chunk body regardless of ray count
-    # (a flat single-wave variant compiled pathologically slowly on TPU).
-    rsh = TILE * TILE_CHUNK
-    t, tid, u, v = jax.lax.map(
-        chunk_fn, (o.reshape(n_chunks, rsh, 3), d.reshape(n_chunks, rsh, 3),
-                   t_min.reshape(n_chunks, rsh), t_max.reshape(n_chunks, rsh)))
-    return Hit(t.reshape(-1), tid.reshape(-1), u.reshape(-1), v.reshape(-1))
+    G_all = n_tiles
+    if n_tiles <= TILE_CHUNK:
+        t, tid, u, v = chunk_fn((ro, rd, rtmin, rtmax, order, counts_s))
+    else:
+        nc = n_tiles // TILE_CHUNK
+        t, tid, u, v = jax.lax.map(chunk_fn, (
+            ro.reshape(nc, TILE_CHUNK, TILE, 3),
+            rd.reshape(nc, TILE_CHUNK, TILE, 3),
+            rtmin.reshape(nc, TILE_CHUNK, TILE),
+            rtmax.reshape(nc, TILE_CHUNK, TILE),
+            order.reshape(nc, TILE_CHUNK, -1),
+            counts_s.reshape(nc, TILE_CHUNK)))
+        t = t.reshape(n_tiles, TILE)
+        tid = tid.reshape(n_tiles, TILE)
+        u = u.reshape(n_tiles, TILE)
+        v = v.reshape(n_tiles, TILE)
+
+    # undo the tile sort
+    inv_tiles = jnp.zeros_like(tile_order).at[tile_order].set(
+        jnp.arange(n_tiles, dtype=tile_order.dtype))
+    t = t[inv_tiles].reshape(-1)
+    tid = tid[inv_tiles].reshape(-1)
+    u = u[inv_tiles].reshape(-1)
+    v = v[inv_tiles].reshape(-1)
+    return Hit(t, tid, u, v)

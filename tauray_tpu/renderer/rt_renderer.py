@@ -77,7 +77,8 @@ class PathTracerRenderer(Renderer):
                 opt.use_white_albedo_on_first_bounce),
             direct_only=self.direct_only,
             rng_seed=opt.rng_seed,
-            has_alpha_materials=self.arrays.any_alpha_materials)
+            has_alpha_materials=self.arrays.any_alpha_materials,
+            sampler=opt.sampler)
         V, H, W = self.cfg.n_views, opt.height, opt.width
         ys, xs = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
         pix = np.stack([xs.reshape(-1), ys.reshape(-1)], axis=-1)

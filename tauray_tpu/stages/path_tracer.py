@@ -76,6 +76,7 @@ class PTConfig:
     direct_only: bool = False          # `direct` renderer: 2-bounce NEE-only
     rng_seed: int = 0
     has_alpha_materials: bool = False
+    sampler: str = "uniform-random"    # | sobol-owen | sobol-z2 | sobol-z3
 
 
 class PTOutput(NamedTuple):
@@ -89,6 +90,24 @@ class PTOutput(NamedTuple):
     first_instance: jnp.ndarray    # (R,) i32
     first_metallic_roughness: jnp.ndarray  # (R, 2)
     first_emission: jnp.ndarray    # (R, 3)
+
+
+def draw_ray_sample(cfg: PTConfig, seed, coord, slot: int):
+    """Per-bounce 4D sample (reference: shader/sampling.glsl
+    generate_ray_sample_uint): uniform-random advances the pcg4d stream;
+    Sobol variants use the sample index + pixel from `coord` and leave the
+    pcg stream untouched, exactly like the reference's split sampler."""
+    if cfg.sampler == "uniform-random" or slot < 0:
+        return rng_ops.generate_uniform_random_uint(seed)
+    from ..ops import sobol
+    if cfg.sampler == "sobol-owen":
+        pixel_seed = rng_ops.pcg4d(coord)
+        r = sobol.sobol_owen_sample_uint(pixel_seed, coord[:, 3], slot)
+        return seed, r
+    # sobol-z2 / sobol-z3
+    r = sobol.sobol_z_sample_uint(coord[:, :2], coord[:, 3], slot,
+                                  bits_3d=cfg.sampler == "sobol-z3")
+    return seed, r
 
 
 def _mis_pdf_pair(cfg: PTConfig, a, b):
@@ -273,7 +292,8 @@ def _ray_visibility(view, mapped_normal, smooth_normal):
 
 
 def _shade_bounce(cfg: PTConfig, scene: DeviceScene, state, hit, vis,
-                  b_idx, is_first: bool, max_bounces: int):
+                  b_idx, is_first: bool, max_bounces: int,
+                  coord=None, sobol_bounce: int = -1):
     """Shading program for one bounce: consumes a precomputed closest hit
     and NEE shadow visibilities. Wavefront architecture: the traversal
     programs run separately (host-orchestrated), so this compiles once per
@@ -410,7 +430,8 @@ def _shade_bounce(cfg: PTConfig, scene: DeviceScene, state, hit, vis,
 
     # ---- NEE ------------------------------------------------------------
     if cfg.nee.any:
-        seed, rand = rng_ops.generate_uniform_random_uint(seed)
+        slot = -1 if sobol_bounce < 0 else sobol_bounce * 2
+        seed, rand = draw_ray_sample(cfg, seed, coord, slot)
         if cfg.has_alpha_materials:
             alpha_seed = rng_ops.pcg4d(alpha_seed)  # mirrors NEE shadow draw
         radiance, nee_lobes = next_event_estimation(
@@ -445,7 +466,8 @@ def _shade_bounce(cfg: PTConfig, scene: DeviceScene, state, hit, vis,
     alive = alive & ~terminal
 
     # ---- next bounce -----------------------------------------------------
-    seed, rand = rng_ops.generate_uniform_random_uint(seed)
+    slot2 = -1 if sobol_bounce < 0 else sobol_bounce * 2 + 1
+    seed, rand = draw_ray_sample(cfg, seed, coord, slot2)
     ray_sample = rand.astype(jnp.float32) * \
         jnp.float32(rng_ops.INV_UINT32_MAX)
     out_dir_ts, lobes, new_bsdf_pdf = material_bsdf_sample(
@@ -484,19 +506,20 @@ def _get_shade_jit():
     if _shade_jit is None:
         _shade_jit = jax.jit(
             _shade_bounce,
-            static_argnames=("cfg", "is_first", "max_bounces"))
+            static_argnames=("cfg", "is_first", "max_bounces",
+                             "sobol_bounce"))
     return _shade_jit
 
 
-@partial(jax.jit, static_argnames=("cfg",))
+@partial(jax.jit, static_argnames=("cfg", "slot"))
 def _nee_prep(cfg: PTConfig, scene: DeviceScene, seed, alpha_seed, hit,
-              pos, view):
+              pos, view, coord, slot: int):
     """Small program producing NEE shadow rays for the wavefront
     orchestrator. Redraws the same RNG values the shade program will."""
     safe_view = jnp.where(jnp.abs(view) < 1e-30,
                           jnp.array([0.0, 0, 1.0]), view)
     v = interpolate_vertex(scene, hit.tri_id, hit.u, hit.v, safe_view)
-    _, rand = rng_ops.generate_uniform_random_uint(seed)
+    _, rand = draw_ray_sample(cfg, seed, coord, slot)
     _, out_dir, out_len, _ = sample_explicit_light(cfg, scene, rand, v.pos)
     if cfg.has_alpha_materials:
         a2 = rng_ops.pcg4d(alpha_seed)
@@ -572,8 +595,9 @@ def host_trace_alpha(scene, tracer, o, d, t_min, t_max, alpha_u,
 
 
 def _run_bounce(cfg: PTConfig, scene: DeviceScene, tracer, state, b_idx,
-                is_first: bool, max_bounces: int):
+                is_first: bool, max_bounces: int, coord=None):
     (seed, alpha_seed, pos, view) = state[0], state[1], state[2], state[3]
+    sobol_bounce = -1 if cfg.sampler == "uniform-random" else int(b_idx)
     R = pos.shape[0]
     if cfg.has_alpha_materials:
         alpha_u = _advance_alpha(alpha_seed)
@@ -583,8 +607,9 @@ def _run_bounce(cfg: PTConfig, scene: DeviceScene, tracer, state, b_idx,
     hit = host_trace_alpha(scene, tracer, pos, view, t_min, RAY_MAX_DIST,
                            alpha_u, cfg.has_alpha_materials)
     if cfg.nee.any:
+        slot = -1 if sobol_bounce < 0 else sobol_bounce * 2
         sh_o, sh_d, sh_len, nee_alpha_u = _nee_prep(
-            cfg, scene, seed, alpha_seed, hit, pos, view)
+            cfg, scene, seed, alpha_seed, hit, pos, view, coord, slot)
         sh = host_trace_alpha(scene, tracer, sh_o, sh_d, cfg.min_ray_dist,
                               sh_len, nee_alpha_u, cfg.has_alpha_materials,
                               any_hit=True)
@@ -592,11 +617,12 @@ def _run_bounce(cfg: PTConfig, scene: DeviceScene, tracer, state, b_idx,
     else:
         vis = jnp.ones(R, jnp.float32)
     return _get_shade_jit()(cfg, scene, state, hit, vis,
-                            jnp.int32(b_idx), is_first, max_bounces)
+                            jnp.int32(b_idx), is_first, max_bounces,
+                            coord, sobol_bounce)
 
 
 def evaluate_ray(cfg: PTConfig, scene: DeviceScene, bvh: DeviceBVH,
-                 sampler_seed, pos, view):
+                 sampler_seed, pos, view, coord=None):
     """One path per ray (reference: shader/path_tracer.glsl evaluate_ray).
 
     Wavefront orchestration: per bounce, a closest-hit wave, an NEE shadow
@@ -619,19 +645,20 @@ def evaluate_ray(cfg: PTConfig, scene: DeviceScene, bvh: DeviceBVH,
     )
     max_bounces = 2 if cfg.direct_only else cfg.max_bounces
 
-    state, first = _run_bounce(cfg, scene, bvh, state, 0, True, max_bounces)
+    state, first = _run_bounce(cfg, scene, bvh, state, 0, True, max_bounces,
+                               coord)
     for b_idx in range(1, max_bounces):
         # no host-side alive check: it would block the async dispatch
         # pipeline; dead rays are masked inside the programs
         state, _ = _run_bounce(cfg, scene, bvh, state, b_idx, False,
-                               max_bounces)
+                               max_bounces, coord)
     diffuse = state[-2]
     reflection = state[-1]
     return diffuse, reflection, first
 
 
 def evaluate_ray_inline(cfg: PTConfig, scene: DeviceScene, bvh,
-                        sampler_seed, pos, view):
+                        sampler_seed, pos, view, coord=None):
     """Fully-jittable variant of evaluate_ray (fixed alpha rounds, no host
     syncs) for use inside `shard_map` / multi-chip programs."""
     from ..ops.trace_utils import trace_alpha
@@ -657,8 +684,11 @@ def evaluate_ray_inline(cfg: PTConfig, scene: DeviceScene, bvh,
                           jnp.full(R, RAY_MAX_DIST), alpha_u,
                           cfg.has_alpha_materials)
         if cfg.nee.any:
+            sobol_b = -1 if cfg.sampler == "uniform-random" else b_idx
+            slot = -1 if sobol_b < 0 else sobol_b * 2
             sh_o, sh_d, sh_len, nee_alpha_u = _nee_prep(
-                cfg, scene, seed, alpha_seed, hit, cur_pos, cur_view)
+                cfg, scene, seed, alpha_seed, hit, cur_pos, cur_view,
+                coord, slot)
             sh = trace_alpha(scene, bvh, sh_o, sh_d,
                              jnp.full(R, cfg.min_ray_dist, jnp.float32),
                              sh_len, nee_alpha_u, cfg.has_alpha_materials,
@@ -666,8 +696,10 @@ def evaluate_ray_inline(cfg: PTConfig, scene: DeviceScene, bvh,
             vis = jnp.where(sh.tri_id < 0, 1.0, 0.0)
         else:
             vis = jnp.ones(R, jnp.float32)
+        sobol_b = -1 if cfg.sampler == "uniform-random" else b_idx
         state, fh = _shade_bounce(cfg, scene, state, hit, vis,
-                                  jnp.int32(b_idx), is_first, max_bounces)
+                                  jnp.int32(b_idx), is_first, max_bounces,
+                                  coord, sobol_b)
         if is_first:
             first = fh
     return state[-2], state[-1], first
@@ -682,10 +714,10 @@ def pt_trace_pass_inline(cfg: PTConfig, scene: DeviceScene, bvh,
     sum_color = jnp.zeros((R, 3), jnp.float32)
     first = None
     for i in range(cfg.samples_per_pass):
-        seed, origin, d = _begin_sample(cfg, cam, pix_pos, vp,
-                                        previous_samples + i)
+        seed, origin, d, coord = _begin_sample(cfg, cam, pix_pos, vp,
+                                               previous_samples + i)
         diffuse, refl, fh = evaluate_ray_inline(cfg, scene, bvh, seed,
-                                                origin, d)
+                                                origin, d, coord)
         color, _ = _finalize_sample(
             cfg, prev_cam, vp, diffuse, refl, fh["albedo"], fh["metallic"],
             fh["emission"], fh["vertex_prev_pos"])
@@ -744,7 +776,7 @@ def _begin_sample(cfg: PTConfig, cam: CameraUniforms, pix_pos, vp,
                                       pixel_offset=film_off, dof_u=dof_u)
     # payload.random_seed draw (reference: evaluate_ray first line)
     seed, _ = rng_ops.generate_uniform_random_uint(seed)
-    return seed, origin, d
+    return seed, origin, d, coord
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -784,9 +816,10 @@ def pt_trace_pass(cfg: PTConfig, scene: DeviceScene, bvh: DeviceBVH,
     first = None
 
     for i in range(cfg.samples_per_pass):
-        seed, origin, d = _begin_sample(cfg, cam, pix_pos, vp,
-                                        previous_samples + i)
-        diffuse, refl, fh = evaluate_ray(cfg, scene, bvh, seed, origin, d)
+        seed, origin, d, coord = _begin_sample(cfg, cam, pix_pos, vp,
+                                               previous_samples + i)
+        diffuse, refl, fh = evaluate_ray(cfg, scene, bvh, seed, origin, d,
+                                         coord)
         color, screen_motion = _finalize_sample(
             cfg, prev_cam, vp, diffuse, refl, fh["albedo"], fh["metallic"],
             fh["emission"], fh["vertex_prev_pos"])
