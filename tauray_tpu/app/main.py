@@ -212,6 +212,10 @@ def replay_viewer(opt: Options, s: Scene):
 
     rr = create_renderer(opt, s)
     rr.set_scene(s)
+    if opt.checkpoint and hasattr(rr, "load_checkpoint"):
+        if rr.load_checkpoint(opt.checkpoint):
+            TR_LOG(f"Resumed accumulation from {opt.checkpoint} "
+                   f"({rr.samples_accumulated} samples)")
     for _ in range(opt.warmup_frames):
         if not opt.skip_render:
             anim.update(s, 0, True)
@@ -243,6 +247,8 @@ def replay_viewer(opt: Options, s: Scene):
         i += 1
     if out is not None:
         out.finish()
+    if opt.checkpoint and hasattr(rr, "save_checkpoint"):
+        rr.save_checkpoint(opt.checkpoint)
     if opt.camera_log:
         for i, clog in enumerate(camera_logs):
             name = opt.camera_log + (str(i) if len(camera_logs) != 1 else "")

@@ -111,6 +111,26 @@ class PathTracerRenderer(Renderer):
         self.bvh = refit_cluster_tracer(self.bvh, self.arrays.tri_pos,
                                         self._perm)
 
+    # -- checkpoint/resume (SURVEY.md §5.4): the reference resumes via
+    # deterministic seeds + --skip-frames; here the accumulation state is
+    # additionally persistable as a true checkpoint --------------------
+    def save_checkpoint(self, path: str):
+        if self.accum_color is None:
+            return
+        np.savez(path, accum_color=np.asarray(self.accum_color),
+                 samples_accumulated=self.samples_accumulated,
+                 frame_counter=self.frame_counter)
+
+    def load_checkpoint(self, path: str) -> bool:
+        import os
+        if not os.path.exists(path):
+            return False
+        data = np.load(path)
+        self.accum_color = jnp.asarray(data["accum_color"])
+        self.samples_accumulated = int(data["samples_accumulated"])
+        self.frame_counter = int(data["frame_counter"])
+        return True
+
     def reset_accumulation(self, keep_samples: bool = False):
         if not keep_samples:
             if not self.opt.accumulation:

@@ -1,0 +1,337 @@
+"""ReSTIR direct illumination (reference: src/restir_stage.cc +
+shader/restir_canonical.comp, restir_temporal.comp,
+restir_spatial_trace.comp, restir_spatial_gather.comp, restir_core.glsl).
+
+Round-1 scope: ReSTIR **DI** over all four light types with
+  * canonical RIS over `canonical_samples` candidates
+    (reference: restir.canonical-samples),
+  * temporal reservoir reuse along motion vectors with confidence capping
+    (reference: restir.max-confidence / temporal-reuse),
+  * `restir.passes` spatial reuse passes over disk neighborhoods
+    (reference: restir.spatial-samples / sample-spatial-disk),
+  * final visibility by one shadow wave through the shared tracer.
+
+Reservoir samples are stored as (strategy, light index, u1, u2) and
+re-evaluated at the receiving pixel — the DI analogue of the reference's
+reconnection shift (reference: restir_core.glsl reconnection vertex);
+the path-space GI shifts (random replay / hybrid) are the planned round-2
+extension.
+
+Reservoirs are pytrees of (H, W, ...) arrays; everything is one jitted
+program per pass.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import rng as rng_ops
+from ..ops.ggx import material_bsdf_pdf, modulate_bsdf
+from ..ops.lights import (sample_directional_light, sample_point_light,
+                          sample_environment_map, sample_triangle_light)
+from ..ops.sampling import (create_tangent_space, normalize,
+                            ray_plane_intersection_dist,
+                            view_to_tangent_space)
+from ..ops.shading import rgb_to_luminance
+from ..scene.device import DeviceScene
+
+M_PI = math.pi
+
+
+class Reservoir(NamedTuple):
+    strategy: jnp.ndarray   # (H, W) i32: 0 point, 1 tri, 2 env, 3 dir, -1 none
+    light_idx: jnp.ndarray  # (H, W) i32
+    u: jnp.ndarray          # (H, W, 2) sample numbers
+    w_sum: jnp.ndarray      # (H, W)
+    M: jnp.ndarray          # (H, W) confidence
+    target_p: jnp.ndarray   # (H, W) p-hat of the kept sample
+
+    @staticmethod
+    def empty(H, W):
+        z = jnp.zeros((H, W), jnp.float32)
+        return Reservoir(jnp.full((H, W), -1, jnp.int32),
+                         jnp.zeros((H, W), jnp.int32),
+                         jnp.zeros((H, W, 2), jnp.float32), z, z, z)
+
+    @property
+    def W(self):
+        return jnp.where(self.target_p > 0,
+                         self.w_sum / (jnp.maximum(self.M, 1e-6) *
+                                       jnp.maximum(self.target_p, 1e-9)),
+                         0.0)
+
+
+def _eval_light_sample(scene: DeviceScene, nee, strategy, light_idx, u,
+                       pos):
+    """Re-evaluate a stored light sample at shading point `pos`.
+    Returns (radiance (..., 3), dir, dist, source_pdf)."""
+    shp = pos.shape[:-1]
+    flat = lambda x: x.reshape(-1, x.shape[-1]) if x.ndim > len(shp) else \
+        x.reshape(-1)
+    pos_f = pos.reshape(-1, 3)
+    strat = strategy.reshape(-1)
+    li = light_idx.reshape(-1)
+    uf = u.reshape(-1, 2)
+    R = pos_f.shape[0]
+
+    color = jnp.zeros((R, 3), jnp.float32)
+    dirs = jnp.zeros((R, 3), jnp.float32)
+    dist = jnp.full(R, jnp.inf, jnp.float32)
+    pdf = jnp.ones(R, jnp.float32)
+
+    if nee.point > 0:
+        lc = scene.point_light_count
+        pli = jnp.clip(li, 0, jnp.maximum(lc - 1, 0))
+        d, l, c, p = sample_point_light(scene, pli, uf, pos_f)
+        p = p * (nee.point / jnp.maximum(lc, 1))
+        m = strat == 0
+        color = jnp.where(m[:, None], c, color)
+        dirs = jnp.where(m[:, None], d, dirs)
+        dist = jnp.where(m, l, dist)
+        pdf = jnp.where(m, p, pdf)
+    if nee.triangle > 0:
+        lc = scene.tri_light_count
+        tli = jnp.clip(li, 0, jnp.maximum(lc - 1, 0))
+        tl = scene.tl_pos[tli]
+        A = tl[:, 0] - pos_f
+        B = tl[:, 1] - pos_f
+        Cc = tl[:, 2] - pos_f
+        d, tri_pdf = sample_triangle_light(uf, A, B, Cc, "solid-angle")
+        l = ray_plane_intersection_dist(d, A, B, Cc)
+        c = scene.tl_emission[tli]
+        p = nee.triangle * tri_pdf / jnp.maximum(lc, 1)
+        bad = ~jnp.isfinite(tri_pdf) | (tri_pdf <= 0)
+        m = strat == 1
+        color = jnp.where((m & ~bad)[:, None], c, color)
+        dirs = jnp.where(m[:, None], jnp.where(bad[:, None], 0.0, d), dirs)
+        dist = jnp.where(m, l, dist)
+        pdf = jnp.where(m, jnp.where(bad, 1.0, p), pdf)
+    if nee.envmap > 0:
+        ue = (uf * jnp.float32(2 ** 32 - 1)).astype(jnp.uint32)
+        rand3 = jnp.concatenate(
+            [ue, rng_ops.pcg(ue[:, 0:1] ^ ue[:, 1:2])], axis=-1)
+        c, d, l, p = sample_environment_map(scene, rand3)
+        p = p * nee.envmap
+        m = strat == 2
+        color = jnp.where(m[:, None], c, color)
+        dirs = jnp.where(m[:, None], d, dirs)
+        dist = jnp.where(m, l, dist)
+        pdf = jnp.where(m, p, pdf)
+    if nee.directional > 0:
+        lc = scene.directional_light_count
+        dlit = jnp.clip(li, 0, jnp.maximum(lc - 1, 0))
+        d, c, p = sample_directional_light(scene, dlit, uf)
+        p = p * (nee.directional / jnp.maximum(lc, 1))
+        m = strat == 3
+        color = jnp.where(m[:, None], c, color)
+        dirs = jnp.where(m[:, None], d, dirs)
+        dist = jnp.where(m, jnp.inf, dist)
+        pdf = jnp.where(m, p, pdf)
+
+    none = strat < 0
+    color = jnp.where(none[:, None], 0.0, color)
+    return (color.reshape(shp + (3,)), dirs.reshape(shp + (3,)),
+            dist.reshape(shp), pdf.reshape(shp))
+
+
+def _target_phat(scene, nee, strategy, light_idx, u, pos, normal, view,
+                 mat, bounce_mode):
+    """Unshadowed target function p-hat = luminance(f * Le)
+    (reference: restir_core.glsl target function)."""
+    color, dirs, dist, pdf = _eval_light_sample(scene, nee, strategy,
+                                                light_idx, u, pos)
+    t, b, n = create_tangent_space(normal.reshape(-1, 3))
+    sview = view_to_tangent_space(view.reshape(-1, 3), t, b, n)
+    sl = jnp.stack([jnp.sum(dirs.reshape(-1, 3) * t, -1),
+                    jnp.sum(dirs.reshape(-1, 3) * b, -1),
+                    jnp.sum(dirs.reshape(-1, 3) * n, -1)], axis=-1)
+    lobes, _ = material_bsdf_pdf(sl, sview, mat, bounce_mode)
+    f = modulate_bsdf(mat, lobes)
+    # |pdf| resolves delta lights' negative marker
+    contrib = color.reshape(-1, 3) * f / \
+        jnp.maximum(jnp.abs(pdf.reshape(-1)), 1e-9)[:, None]
+    phat = rgb_to_luminance(contrib)
+    return (phat.reshape(pos.shape[:-1]), dirs, dist)
+
+
+def _merge(res: Reservoir, cand_strategy, cand_idx, cand_u, cand_phat,
+           cand_w, cand_M, rand):
+    """Stream one candidate into the reservoir (weighted reservoir
+    sampling; reference: restir_core.glsl update_reservoir)."""
+    w_new = res.w_sum + cand_w
+    take = (rand * jnp.maximum(w_new, 1e-20)) < cand_w
+    return Reservoir(
+        strategy=jnp.where(take, cand_strategy, res.strategy),
+        light_idx=jnp.where(take, cand_idx, res.light_idx),
+        u=jnp.where(take[..., None], cand_u, res.u),
+        w_sum=w_new,
+        M=res.M + cand_M,
+        target_p=jnp.where(take, cand_phat, res.target_p))
+
+
+@partial(jax.jit, static_argnames=("cfg_key",))
+def restir_di_pass(scene: DeviceScene, tracer, gbuf_pos, gbuf_normal,
+                   gbuf_view, gbuf_albedo, gbuf_mr, gbuf_transmittance,
+                   motion, prev_res: Reservoir, prev_pos,
+                   frame_idx, cfg_key):
+    """One full ReSTIR DI frame: canonical → temporal → spatial → shade.
+    cfg_key: hashable (nee, canonical_samples, spatial_samples, passes,
+    max_confidence, temporal, min_ray_dist, bounce_mode, search_radius)."""
+    (nee, canonical_samples, spatial_samples, passes, max_conf, temporal,
+     min_ray_dist, bounce_mode, max_radius) = cfg_key
+    H, W = gbuf_pos.shape[:2]
+    R = H * W
+
+    from ..ops.shading import SampledMaterial
+    albedo = gbuf_albedo.reshape(-1, 4)
+    metallic = gbuf_mr.reshape(-1, 2)[:, 0]
+    roughness = gbuf_mr.reshape(-1, 2)[:, 1]
+    trans = gbuf_transmittance.reshape(-1)
+    ior = jnp.full(R, 1.45, jnp.float32)
+    f0 = ((ior - 1) / (ior + 1)) ** 2
+    mat = SampledMaterial(
+        albedo=albedo, metallic=metallic, roughness=roughness,
+        emission=jnp.zeros((R, 3)), transmittance=trans,
+        ior_in=jnp.ones(R), ior_out=ior, f0=f0,
+        double_sided=jnp.ones(R, bool),
+        shadow_terminator_mul=jnp.ones(R))
+
+    ys, xs = jnp.meshgrid(jnp.arange(H), jnp.arange(W), indexing="ij")
+    coord = jnp.stack([xs.reshape(-1).astype(jnp.uint32),
+                       ys.reshape(-1).astype(jnp.uint32),
+                       jnp.zeros(R, jnp.uint32),
+                       jnp.full(R, frame_idx, jnp.uint32)], axis=-1)
+    seed = rng_ops.init_random_sampler(coord)
+
+    weights = jnp.array([nee.point, nee.triangle, nee.envmap,
+                         nee.directional], jnp.float32)
+    cum = jnp.cumsum(weights)
+
+    res = Reservoir.empty(H, W)
+    # ---- canonical candidates (reference: restir_canonical.comp) -------
+    for k in range(canonical_samples):
+        seed, rnd = rng_ops.generate_uniform_random(seed)
+        uw = rnd[:, 3].reshape(H, W)
+        strat = jnp.full((H, W), -1, jnp.int32)
+        for si in range(4):
+            lo = cum[si] - weights[si]
+            strat = jnp.where((weights[si] > 0) & (uw >= lo) &
+                              (uw < cum[si]), si, strat)
+        counts = jnp.stack([
+            jnp.maximum(scene.point_light_count, 1),
+            jnp.maximum(scene.tri_light_count, 1),
+            jnp.array(1, jnp.int32),
+            jnp.maximum(scene.directional_light_count, 1)])
+        n_lights = counts[jnp.maximum(strat, 0)]
+        lidx = jnp.clip((rnd[:, 2].reshape(H, W) *
+                         n_lights).astype(jnp.int32), 0, n_lights - 1)
+        u2 = rnd[:, :2].reshape(H, W, 2)
+        phat, dirs, dist = _target_phat(scene, nee, strat, lidx, u2,
+                                        gbuf_pos, gbuf_normal, gbuf_view,
+                                        mat, bounce_mode)
+        _, _, _, src_pdf = _eval_light_sample(scene, nee, strat, lidx, u2,
+                                              gbuf_pos)
+        # RIS weight: phat / source_pdf; delta pdfs fold into phat
+        w = jnp.where(strat >= 0,
+                      phat / jnp.maximum(jnp.abs(src_pdf) /
+                                         jnp.abs(src_pdf), 1e-9), 0.0)
+        w = jnp.where(strat >= 0, phat, 0.0)
+        seed, r2 = rng_ops.generate_uniform_random(seed)
+        res = _merge(res, strat, lidx, u2, phat, w,
+                     jnp.ones((H, W)), r2[:, 0].reshape(H, W))
+
+    # ---- temporal reuse (reference: restir_temporal.comp) --------------
+    if temporal:
+        mx = jnp.clip((motion[..., 0] * W - 0.5), 0, W - 1)
+        my = jnp.clip(((1 - motion[..., 1]) * H - 0.5), 0, H - 1)
+        px = jnp.round(mx).astype(jnp.int32)
+        py = jnp.round(my).astype(jnp.int32)
+        pr = Reservoir(*(x[py, px] for x in prev_res))
+        # geometry validity
+        dp = gbuf_pos - prev_pos[py, px]
+        ok = jnp.sum(dp * dp, -1) < 0.05
+        capM = jnp.minimum(pr.M, max_conf)
+        phat_prev, _, _ = _target_phat(scene, nee, pr.strategy,
+                                       pr.light_idx, pr.u, gbuf_pos,
+                                       gbuf_normal, gbuf_view, mat,
+                                       bounce_mode)
+        w_prev = jnp.where(ok & (pr.strategy >= 0),
+                           phat_prev * pr.W * capM, 0.0)
+        seed, r3 = rng_ops.generate_uniform_random(seed)
+        res = _merge(res, pr.strategy, pr.light_idx, pr.u, phat_prev,
+                     w_prev, jnp.where(ok, capM, 0.0),
+                     r3[:, 0].reshape(H, W))
+
+    # ---- spatial reuse (reference: restir_spatial_*.comp) --------------
+    for p in range(passes):
+        for k in range(spatial_samples):
+            seed, r4 = rng_ops.generate_uniform_random(seed)
+            ang = r4[:, 0].reshape(H, W) * (2 * M_PI)
+            rad = jnp.sqrt(r4[:, 1].reshape(H, W)) * max_radius
+            dx = jnp.round(jnp.cos(ang) * rad).astype(jnp.int32)
+            dy = jnp.round(jnp.sin(ang) * rad).astype(jnp.int32)
+            nx = jnp.clip(xs + dx, 0, W - 1)
+            ny = jnp.clip(ys + dy, 0, H - 1)
+            nb = Reservoir(*(x[ny, nx] for x in res))
+            dpn = gbuf_pos - gbuf_pos[ny, nx]
+            nrm_ok = jnp.sum(gbuf_normal * gbuf_normal[ny, nx], -1) > 0.9
+            ok = (jnp.sum(dpn * dpn, -1) < 0.05) & nrm_ok
+            phat_nb, _, _ = _target_phat(scene, nee, nb.strategy,
+                                         nb.light_idx, nb.u, gbuf_pos,
+                                         gbuf_normal, gbuf_view, mat,
+                                         bounce_mode)
+            capM = jnp.minimum(nb.M, max_conf)
+            w_nb = jnp.where(ok & (nb.strategy >= 0),
+                             phat_nb * nb.W * capM, 0.0)
+            seed, r5 = rng_ops.generate_uniform_random(seed)
+            res = _merge(res, nb.strategy, nb.light_idx, nb.u, phat_nb,
+                         w_nb, jnp.where(ok, capM, 0.0),
+                         r5[:, 0].reshape(H, W))
+
+    # ---- final shade + visibility --------------------------------------
+    color, dirs, dist, _ = _eval_light_sample(scene, nee, res.strategy,
+                                              res.light_idx, res.u,
+                                              gbuf_pos)
+    phat, _, _ = _target_phat(scene, nee, res.strategy, res.light_idx,
+                              res.u, gbuf_pos, gbuf_normal, gbuf_view,
+                              mat, bounce_mode)
+    res = res._replace(target_p=phat)
+    t, b, n = create_tangent_space(gbuf_normal.reshape(-1, 3))
+    sview = view_to_tangent_space(gbuf_view.reshape(-1, 3), t, b, n)
+    sl = jnp.stack([jnp.sum(dirs.reshape(-1, 3) * t, -1),
+                    jnp.sum(dirs.reshape(-1, 3) * b, -1),
+                    jnp.sum(dirs.reshape(-1, 3) * n, -1)], axis=-1)
+    lobes, _ = material_bsdf_pdf(sl, sview, mat, bounce_mode)
+    f = modulate_bsdf(mat, lobes).reshape(H, W, 3)
+    _, ldirs, ldist, lpdf = _eval_light_sample(scene, nee, res.strategy,
+                                               res.light_idx, res.u,
+                                               gbuf_pos)
+    safe_d = jnp.where(jnp.abs(ldirs) < 1e-30, jnp.array([0.0, 0, 1.0]),
+                       ldirs)
+    sh = tracer.trace(gbuf_pos.reshape(-1, 3), safe_d.reshape(-1, 3),
+                      jnp.full(R, min_ray_dist),
+                      jnp.minimum(ldist.reshape(-1), 1e30), any_hit=True)
+    vis = jnp.where(sh.tri_id < 0, 1.0, 0.0).reshape(H, W)
+    Le_over_pdf = color / jnp.maximum(
+        jnp.abs(lpdf), 1e-9)[..., None]
+    out = Le_over_pdf * f * (res.W * vis)[..., None] * \
+        jnp.maximum(res.target_p, 0.0)[..., None] / \
+        jnp.maximum(res.target_p, 1e-9)[..., None]
+    return out, res
+
+
+class ReSTIRConfigKey(NamedTuple):
+    nee: object
+    canonical_samples: int
+    spatial_samples: int
+    passes: int
+    max_confidence: float
+    temporal: bool
+    min_ray_dist: float
+    bounce_mode: str
+    max_radius: float
