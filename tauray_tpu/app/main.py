@@ -269,10 +269,28 @@ def main(argv: Optional[List[str]] = None) -> int:
         return 1
     if opt.timing_output:
         logger.timing.stream = open(opt.timing_output, "w")
+
+    # run-mode selection (reference: src/tauray.cc:1169-1187)
+    if opt.display == "frame-client":
+        from .frame_viewer import frame_client_viewer
+        return frame_client_viewer(opt)
+
     s = load_scenes(opt)
     if opt.scene_stats:
         TR_LOG("Scene stats:", s.stats())
-    replay_viewer(opt, s)
+
+    if opt.display == "looking-glass":
+        from ..stages.looking_glass import setup_lkg_cameras
+        base = next((e for e in s.entities
+                     if e.camera is not None and e.camera_enabled), None)
+        if base is not None:
+            setup_lkg_cameras(s, base, opt)
+
+    if opt.headless or opt.replay or opt.renderer == "dshgi-server":
+        replay_viewer(opt, s)
+    else:
+        from .interactive import interactive_viewer
+        interactive_viewer(opt, s)
     return 0
 
 
