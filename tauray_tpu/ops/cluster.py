@@ -51,7 +51,7 @@ TILE_CHUNK = int(_os.environ.get("TAURAY_TILE_CHUNK", "64"))
 @jax.tree_util.register_pytree_node_class
 class ClusterTracer:
     def __init__(self, v0, e1, e2, tri_valid, to_orig, cmin, cmax,
-                 n_clusters: int):
+                 n_clusters: int, tris9=None, tvalid_f=None):
         # (C, CLUSTER, 3) triangle blocks in cluster-major layout
         self.v0 = v0
         self.e1 = e1
@@ -61,14 +61,30 @@ class ClusterTracer:
         self.cmin = cmin             # (C, 3)
         self.cmax = cmax             # (C, 3)
         self.n_clusters = n_clusters
+        # pallas-kernel layouts: (C, 9, 1, CLUSTER) components-in-lanes
+        self.tris9 = tris9
+        self.tvalid_f = tvalid_f
 
     def tree_flatten(self):
         return ((self.v0, self.e1, self.e2, self.tri_valid, self.to_orig,
-                 self.cmin, self.cmax), (self.n_clusters,))
+                 self.cmin, self.cmax, self.tris9, self.tvalid_f),
+                (self.n_clusters,))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, *aux)
+        return cls(*children[:7], aux[0], *children[7:])
+
+    def with_pallas_layout(self):
+        C = self.n_clusters
+        comps = jnp.concatenate([
+            jnp.swapaxes(self.v0, 1, 2),     # (C, 3, CLUSTER)
+            jnp.swapaxes(self.e1, 1, 2),
+            jnp.swapaxes(self.e2, 1, 2)], axis=1)      # (C, 9, CLUSTER)
+        tris9 = comps[:, :, None, :]                   # (C, 9, 1, CLUSTER)
+        tvalid_f = self.tri_valid.astype(jnp.float32)[:, None, :]
+        return ClusterTracer(self.v0, self.e1, self.e2, self.tri_valid,
+                             self.to_orig, self.cmin, self.cmax,
+                             self.n_clusters, tris9, tvalid_f)
 
     # ------------------------------------------------------------------
     def trace(self, origins, dirs, t_min, t_max, any_hit: bool = False,
@@ -88,17 +104,19 @@ class ClusterTracer:
             d = jnp.concatenate([d, jnp.ones((pad, 3), d.dtype)])
             t_min = jnp.concatenate([t_min, jnp.ones(pad, jnp.float32)])
             t_max = jnp.concatenate([t_max, jnp.zeros(pad, jnp.float32)])
+        use_pallas = self.tris9 is not None
+        tracefn = _trace_padded_pallas if use_pallas else _trace_padded
         if sort_rays:
             key = _ray_sort_key(o, d, self.cmin.min(axis=0),
                                 self.cmax.max(axis=0))
             perm = jnp.argsort(key)
-            hit = _trace_padded(self, o[perm], d[perm], t_min[perm],
-                                t_max[perm])
+            hit = tracefn(self, o[perm], d[perm], t_min[perm],
+                          t_max[perm])
             inv = jnp.zeros_like(perm).at[perm].set(
                 jnp.arange(perm.shape[0], dtype=perm.dtype))
             hit = Hit(*(x[inv] for x in hit))
         else:
-            hit = _trace_padded(self, o, d, t_min, t_max)
+            hit = tracefn(self, o, d, t_min, t_max)
         t, tid, u, v = (x[:R] for x in hit)
         tid = jnp.where(tid >= 0, self.to_orig[jnp.maximum(tid, 0)], -1)
         return Hit(t, tid, u, v)
@@ -137,7 +155,22 @@ def build_cluster_tracer(tri_pos, tri_instance) -> Tuple[ClusterTracer,
         to_orig=jnp.asarray(perm),
         cmin=None, cmax=None, n_clusters=C)
     tracer = refit_cluster_tracer(tracer, tri_pos, perm)
+    if _use_pallas():
+        tracer = tracer.with_pallas_layout()
     return tracer, perm
+
+
+def _use_pallas() -> bool:
+    """Pallas phase-2 kernel: default on real TPUs, override with
+    TAURAY_PALLAS=0/1 (interpret mode for CPU via
+    TAURAY_PALLAS_INTERPRET=1)."""
+    env = _os.environ.get("TAURAY_PALLAS")
+    if env is not None:
+        return env == "1"
+    try:
+        return jax.default_backend() not in ("cpu",)
+    except Exception:
+        return False
 
 
 def refit_cluster_tracer(tracer: ClusterTracer, tri_pos, perm
@@ -153,8 +186,11 @@ def refit_cluster_tracer(tracer: ClusterTracer, tri_pos, perm
     big = jnp.float32(3e38)
     cmin = jnp.where(valid, corners, big).min(axis=(1, 2))
     cmax = jnp.where(valid, corners, -big).max(axis=(1, 2))
-    return ClusterTracer(v0, e1, e2, tracer.tri_valid, tracer.to_orig,
-                         cmin, cmax, C)
+    out = ClusterTracer(v0, e1, e2, tracer.tri_valid, tracer.to_orig,
+                        cmin, cmax, C)
+    if tracer.tris9 is not None:
+        out = out.with_pallas_layout()
+    return out
 
 
 def _morton10_jnp(x):
@@ -346,4 +382,40 @@ def _trace_padded(tracer: ClusterTracer, o, d, t_min, t_max) -> Hit:
     tid = tid[inv_tiles].reshape(-1)
     u = u[inv_tiles].reshape(-1)
     v = v[inv_tiles].reshape(-1)
+    return Hit(t, tid, u, v)
+
+
+_PALLAS_INTERPRET = _os.environ.get("TAURAY_PALLAS_INTERPRET", "0") == "1"
+
+
+@jax.jit
+def _trace_padded_pallas(tracer: ClusterTracer, o, d, t_min, t_max) -> Hit:
+    """Phase 1 + tile sort in XLA, phase 2 in the Pallas kernel
+    (ops/pallas_trace.py)."""
+    from .pallas_trace import pallas_trace_tiles
+    R = o.shape[0]
+    C = tracer.n_clusters
+    n_tiles = R // TILE
+    ro = o.reshape(n_tiles, TILE, 3)
+    rd = d.reshape(n_tiles, TILE, 3)
+    rtmin = t_min.reshape(n_tiles, TILE)
+    rtmax = t_max.reshape(n_tiles, TILE)
+    inv_d = jnp.where(rd == 0, jnp.float32(3e38),
+                      1.0 / jnp.where(rd == 0, 1.0, rd))
+    hit_c = _slab_hit_soa(
+        ro[:, None, :, 0], ro[:, None, :, 1], ro[:, None, :, 2],
+        inv_d[:, None, :, 0], inv_d[:, None, :, 1], inv_d[:, None, :, 2],
+        rtmin[:, None, :], rtmax[:, None, :],
+        tracer.cmin, tracer.cmax)
+    active = jnp.any(hit_c, axis=2)
+    counts = active.sum(axis=1).astype(jnp.int32)
+    order = jnp.argsort(~active, axis=1, stable=True).astype(jnp.int32)
+
+    rays = tuple(x.reshape(-1, 1) for x in (
+        ro[..., 0], ro[..., 1], ro[..., 2],
+        rd[..., 0], rd[..., 1], rd[..., 2], rtmin, rtmax))
+    t, tid, u, v = pallas_trace_tiles(
+        counts, order, rays, tracer.tris9, tracer.tvalid_f, C,
+        interpret=_PALLAS_INTERPRET)
+    t = jnp.where(tid < 0, RAY_MAX_DIST, t)
     return Hit(t, tid, u, v)
