@@ -80,10 +80,16 @@ class PathTracerRenderer(Renderer):
             has_alpha_materials=self.arrays.any_alpha_materials,
             sampler=opt.sampler)
         V, H, W = self.cfg.n_views, opt.height, opt.width
+        # sparse viewport rendering for light fields: only the viewports in
+        # --spatial-reprojection are traced; the rest are reprojected
+        # (reference: src/spatial_reprojection_stage.hh, options.hh:367-370)
+        self.active_views = sorted(
+            v for v in opt.spatial_reprojection if v < V) or list(range(V))
+        self.use_spatial_reproj = len(self.active_views) < V
         ys, xs = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
         pix = np.stack([xs.reshape(-1), ys.reshape(-1)], axis=-1)
-        pix = np.tile(pix, (V, 1)).astype(np.int32)
-        vp = np.repeat(np.arange(V), H * W).astype(np.int32)
+        pix = np.tile(pix, (len(self.active_views), 1)).astype(np.int32)
+        vp = np.repeat(np.asarray(self.active_views, np.int32), H * W)
         # split the frame into multiple device calls: keeps each XLA
         # program short (the remote TPU watchdog kills long kernels) and
         # doubles as the reference's pass batching for progress reporting
@@ -102,7 +108,8 @@ class PathTracerRenderer(Renderer):
         self.post = PostProcessingPipeline(opt, W, H, V)
         self.use_post = (self.post.use_svgf or self.post.use_bmfr or
                          self.post.use_taa or
-                         self.post.use_temporal_reprojection)
+                         self.post.use_temporal_reprojection or
+                         self.use_spatial_reproj)
 
     def update_frame(self):
         self.arrays.update(keep_prev=True)
@@ -179,14 +186,41 @@ class PathTracerRenderer(Renderer):
         self.frame_counter += 1
 
         V, H, W = cfg.n_views, cfg.height, cfg.width
+        AV = len(self.active_views)
         if self.use_post:
             def cat(field, C):
                 x = jnp.concatenate([getattr(o, field) for o in gchunks])
-                return x[:self._n_rays].reshape(V, H, W, C)
+                x = x[:self._n_rays].reshape(AV, H, W, C)
+                if AV == V:
+                    return x
+                full = jnp.zeros((V, H, W, C), x.dtype)
+                return full.at[jnp.asarray(self.active_views)].set(x)
             pos = cat("first_pos", 3)
             view_z = jnp.einsum(
                 "vhwj,vj->vhw", pos, jnp.asarray(cam.view[:, 2, :3])) + \
                 jnp.asarray(cam.view[:, 2, 3])[:, None, None]
+            if self.use_spatial_reproj:
+                # fill inactive viewports from the rendered ones
+                from ..stages.temporal import spatial_reprojection
+                act = jnp.asarray(self.active_views)
+                color_av = color.reshape(AV, H, W, 4)
+                pos_av = jnp.concatenate(
+                    [o.first_pos for o in gchunks])[:self._n_rays] \
+                    .reshape(AV, H, W, 3)
+                inst_av = jnp.concatenate(
+                    [o.first_instance for o in gchunks])[:self._n_rays] \
+                    .reshape(AV, H, W)
+                valid_av = inst_av >= 0
+                color_full = jnp.zeros((V, H, W, 4), color.dtype)
+                color_full = color_full.at[act].set(color_av)
+                for v in range(V):
+                    if v in self.active_views:
+                        continue
+                    vpm = jnp.asarray(cam.view_proj[v])
+                    filled, mask = spatial_reprojection(
+                        vpm, color_av, pos_av, valid_av)
+                    color_full = color_full.at[v].set(filled)
+                color = color_full.reshape(-1, 4)
             gbuf = dict(
                 color=color.reshape(V, H, W, 4),
                 diffuse=cat("diffuse", 4),
