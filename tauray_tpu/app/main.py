@@ -113,6 +113,15 @@ def create_renderer(opt: Options, s: Scene):
         from ..renderer.feature_renderer import FeatureRenderer
         return FeatureRenderer(opt, r)
     if r in ("path-tracer", "direct"):
+        import jax
+        n_dev = len(jax.devices())
+        use_dist = n_dev > 1 or opt.fake_devices > 1
+        if opt.mesh_shape:
+            use_dist = True
+        if use_dist and not opt.spatial_reprojection:
+            from ..renderer.distributed import DistributedPathTracerRenderer
+            return DistributedPathTracerRenderer(
+                opt, direct_only=(r == "direct"))
         from ..renderer.rt_renderer import PathTracerRenderer
         return PathTracerRenderer(opt, direct_only=(r == "direct"))
     if r == "whitted":

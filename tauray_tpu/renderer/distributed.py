@@ -125,7 +125,10 @@ class DistributedPathTracerRenderer(PathTracerRenderer):
             color = jnp.where(valid[None, :, None], color, 0.0)
             return color[None]                   # (1, V, N, 4)
 
-        from jax.experimental.shard_map import shard_map
+        try:
+            from jax import shard_map
+        except ImportError:
+            from jax.experimental.shard_map import shard_map
         specs = dict(mesh=mesh,
                      in_specs=(P(), P(), P(), P(), P("dev"), P("dev"),
                                P("dev")),
