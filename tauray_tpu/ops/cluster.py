@@ -409,13 +409,31 @@ def _trace_padded_pallas(tracer: ClusterTracer, o, d, t_min, t_max) -> Hit:
         tracer.cmin, tracer.cmax)
     active = jnp.any(hit_c, axis=2)
     counts = active.sum(axis=1).astype(jnp.int32)
-    order = jnp.argsort(~active, axis=1, stable=True).astype(jnp.int32)
+    # compaction of the active list happens inside the pallas kernel
+    order = active
 
     rays = tuple(x.reshape(-1, 1) for x in (
         ro[..., 0], ro[..., 1], ro[..., 2],
         rd[..., 0], rd[..., 1], rd[..., 2], rtmin, rtmax))
-    t, tid, u, v = pallas_trace_tiles(
+    t, tid = pallas_trace_tiles(
         counts, order, rays, tracer.tris9, tracer.tvalid_f, C,
         interpret=_PALLAS_INTERPRET)
-    t = jnp.where(tid < 0, RAY_MAX_DIST, t)
+    # barycentrics post-pass: recompute u,v for the single best triangle
+    miss = tid < 0
+    safe = jnp.maximum(tid, 0)
+    cidx = safe // CLUSTER
+    lidx = safe % CLUSTER
+    v0 = tracer.v0[cidx, lidx]
+    e1 = tracer.e1[cidx, lidx]
+    e2 = tracer.e2[cidx, lidx]
+    h = jnp.cross(d, e2)
+    a = jnp.sum(e1 * h, axis=-1)
+    f = jnp.where(a != 0, 1.0 / jnp.where(a == 0, 1.0, a), 0.0)
+    s = o - v0
+    u = f * jnp.sum(s * h, axis=-1)
+    q = jnp.cross(s, e1)
+    v = f * jnp.sum(d * q, axis=-1)
+    u = jnp.where(miss, 0.0, u)
+    v = jnp.where(miss, 0.0, v)
+    t = jnp.where(miss, RAY_MAX_DIST, t)
     return Hit(t, tid, u, v)
