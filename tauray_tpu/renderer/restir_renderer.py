@@ -79,6 +79,26 @@ class ReSTIRRenderer(Renderer):
             min_ray_dist=opt.min_ray_dist,
             bounce_mode=opt.bounce_mode,
             max_radius=r.max_search_radius)
+        # GI path reservoirs (reference: restir path tracing with shift
+        # mappings, restir_core.glsl; DI above covers the primary-vertex
+        # direct term, GI covers bounces >= 1)
+        self.gi_cfg = None
+        if opt.max_ray_depth >= 2 and not self.hybrid:
+            from ..stages.restir_gi import ReSTIRGIConfigKey
+            self.gi_cfg = ReSTIRGIConfigKey(
+                nee=nee, shift=r.shift_mapping_type,
+                gi_depth=opt.max_ray_depth,
+                canonical_samples=r.canonical_samples,
+                spatial_samples=r.spatial_samples, passes=r.passes,
+                max_confidence=r.max_confidence,
+                temporal=r.temporal_reuse,
+                min_ray_dist=opt.min_ray_dist,
+                bounce_mode=opt.bounce_mode,
+                max_radius=r.max_search_radius,
+                has_alpha=self.arrays.any_alpha_materials,
+                has_envmap=self.arrays.environment_map is not None,
+                reconnection_scale=r.reconnection_scale)
+        self.prev_gi = None
         self.prev_res: Optional[Reservoir] = None
         self.prev_pos = None
         self.post = PostProcessingPipeline(opt, opt.width, opt.height,
@@ -111,11 +131,21 @@ class ReSTIRRenderer(Renderer):
             gbuf["view"], gbuf["albedo"], gbuf["mr"],
             gbuf["transmittance"], gbuf["motion"], self.prev_res,
             self.prev_pos, jnp.uint32(self.frame_idx), self.cfg_key)
+        color = di + gbuf["emission"]
+        if self.gi_cfg is not None:
+            from ..stages.restir_gi import PathReservoir, restir_gi_pass
+            if self.prev_gi is None:
+                self.prev_gi = PathReservoir.empty(H, W)
+            gi, gres = restir_gi_pass(
+                self.device_scene, self.bvh, gbuf["pos"], gbuf["normal"],
+                gbuf["view"], gbuf["albedo"], gbuf["mr"],
+                gbuf["transmittance"], gbuf["motion"], self.prev_gi,
+                self.prev_pos, jnp.uint32(self.frame_idx), self.gi_cfg)
+            self.prev_gi = gres
+            color = color + gi
         self.prev_res = res
         self.prev_pos = gbuf["pos"]
         self.frame_idx += 1
-
-        color = di + gbuf["emission"]
         if self.sh_source is not None:
             sh = self.sh_source.current_grid_data()
             if sh is not None:

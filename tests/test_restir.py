@@ -1,0 +1,97 @@
+"""ReSTIR DI + GI renderer checks (reference: src/restir_stage.cc,
+shader/restir_core.glsl — the reference itself has no ReSTIR golden
+test, SURVEY.md §4, so these are analytic/consistency checks)."""
+
+import numpy as np
+import pytest
+
+from tauray_tpu.options import Options
+from tauray_tpu.scene.environment_map import EnvironmentMap
+
+from test_pt_radiance import _floor_scene
+
+
+def _restir_render(s, frames=4, **overrides):
+    from tauray_tpu.renderer.restir_renderer import ReSTIRRenderer
+    opt = Options()
+    opt.width = opt.height = 16
+    opt.tonemap = "linear"
+    opt.max_ray_depth = 2
+    for k, v in overrides.items():
+        if "." in k:
+            opt.set(k.replace("_", "-"), str(v))
+        else:
+            setattr(opt, k, v)
+    rr = ReSTIRRenderer(opt)
+    rr.set_scene(s)
+    img = None
+    acc = []
+    for _ in range(frames):
+        img = rr.render()[0]
+        acc.append(img)
+    return np.mean(acc[1:] if len(acc) > 1 else acc, axis=0)
+
+
+def test_restir_di_point_light():
+    from tauray_tpu.scene.light import PointLight
+    from tauray_tpu.scene.transformable import Transformable
+    L, albedo, h, lx = 50.0, 0.8, 4.0, 2.0
+    s = _floor_scene(intensity=0.0, albedo=albedo)
+    s.entities[1].light = None
+    pe = s.add("bulb")
+    pe.transform = Transformable(position=(lx, h, 0))
+    pe.light = PointLight((L, L, L), radius=0.05)
+    img = _restir_render(s, frames=6, max_ray_depth=1)
+    d2 = lx * lx + h * h
+    cos = h / np.sqrt(d2)
+    expected = L * cos / d2 * albedo / np.pi
+    got = img[7:9, 7:9, :3].mean()
+    assert abs(got - expected) / expected < 0.25, (got, expected)
+
+
+@pytest.mark.parametrize("shift", ["reconnection-shift",
+                                   "random-replay-shift", "hybrid-shift"])
+def test_restir_gi_furnace_all_shifts(shift):
+    """Constant envmap over a Lambertian floor: DI gives albedo*L at the
+    primary vertex; GI adds the interreflection term. Total must land
+    near the PT result (albedo*L plus a small multi-bounce term) for
+    every shift mapping."""
+    L, albedo = 1.5, 0.6
+    s = _floor_scene(intensity=0.0, albedo=albedo)
+    s.entities[1].light = None
+    e = s.add("env")
+    e.environment_map = EnvironmentMap(
+        image=np.full((8, 16, 3), L, np.float32))
+    img = _restir_render(s, frames=5, max_ray_depth=3,
+                         **{"restir.shift-mapping-type": shift})
+    got = img[6:10, 6:10, :3].mean()
+    expected = albedo * L
+    assert np.isfinite(img).all()
+    assert abs(got - expected) / expected < 0.3, (got, expected, shift)
+
+
+def test_restir_gi_reservoir_state_shapes():
+    """Temporal reuse across frames keeps reservoir pytrees stable."""
+    L, albedo = 1.5, 0.6
+    s = _floor_scene(intensity=0.0, albedo=albedo)
+    s.entities[1].light = None
+    e = s.add("env")
+    e.environment_map = EnvironmentMap(
+        image=np.full((8, 16, 3), L, np.float32))
+    from tauray_tpu.renderer.restir_renderer import ReSTIRRenderer
+    opt = Options()
+    opt.width = opt.height = 8
+    opt.tonemap = "linear"
+    opt.max_ray_depth = 2
+    rr = ReSTIRRenderer(opt)
+    rr.set_scene(s)
+    rr.render()
+    r0 = rr.prev_gi
+    rr.render()
+    r1 = rr.prev_gi
+    assert r0 is not None and r1 is not None
+    for a, b in zip(r0, r1):
+        assert a.shape == b.shape and a.dtype == b.dtype
+    # confidence M grows with temporal reuse (capped)
+    assert float(np.asarray(r1.M).mean()) >= \
+        float(np.asarray(r0.M).mean()) - 1e-3
