@@ -597,8 +597,12 @@ def _piz_uncompress(data: bytes, nx: int, ny: int, channels) -> bytes:
 
     him, hiM, tlen, nbits, _ = struct.unpack_from("<IIIII", huf_data, 0)
     hcode, consumed = _huf_unpack_enc_table(huf_data[20:20 + tlen], him, hiM)
-    dec = _huf_build_dec_table(hcode, him, hiM)
-    decoded = _huf_decode(huf_data[20 + tlen:], nbits, hcode, dec, hiM, total)
+    from ..native import huf_decode as _native_huf
+    decoded = _native_huf(huf_data[20 + tlen:], nbits, hcode, hiM, total)
+    if decoded is None:
+        dec = _huf_build_dec_table(hcode, him, hiM)
+        decoded = _huf_decode(huf_data[20 + tlen:], nbits, hcode, dec,
+                              hiM, total)
 
     # per-channel planes: wavelet decode + LUT
     planes = []

@@ -133,10 +133,14 @@ def build_cluster_tracer(tri_pos, tri_instance) -> Tuple[ClusterTracer,
     lo = centroids[sel].min(axis=0)
     hi = centroids[sel].max(axis=0)
     ext = np.maximum(hi - lo, 1e-12)
-    grid = np.clip(((centroids - lo) / ext) * 1023.0, 0, 1023).astype(np.uint32)
-    codes = morton_3d(grid).astype(np.uint64)
-    order = np.lexsort((np.arange(T),
-                        codes + (~valid).astype(np.uint64) * (1 << 32)))
+    from ..native import morton_order as _native_morton
+    order = _native_morton(centroids, valid)
+    if order is None:
+        grid = np.clip(((centroids - lo) / ext) * 1023.0,
+                       0, 1023).astype(np.uint32)
+        codes = morton_3d(grid).astype(np.uint64)
+        order = np.lexsort((np.arange(T),
+                            codes + (~valid).astype(np.uint64) * (1 << 32)))
     n_valid = int(valid.sum())
     C = max((n_valid + CLUSTER - 1) // CLUSTER, 1)
     total = C * CLUSTER
