@@ -41,6 +41,16 @@ def get_camera_ray(cam: CameraUniforms, vp: jnp.ndarray, pixel_coord,
                    jnp.concatenate([uv, jnp.ones_like(uv)], axis=-1))
     d = jnp.einsum("rij,rj->ri", view_inv[:, :3, :3], t[:, :3])
     d = normalize(d)
+    # equirectangular branch (reference: shader/camera.glsl:107-124,
+    # equirect half-fov radians in pan.xy, src/camera.cc:474)
+    eq = cam.proj_type[vp] == 2
+    ang = uv * cam.pan[vp][:, :2]
+    c = jnp.cos(ang)
+    s = jnp.sin(ang)
+    teq = jnp.stack([s[:, 0] * c[:, 1], s[:, 1],
+                     -c[:, 0] * c[:, 1]], axis=-1)
+    deq = normalize(jnp.einsum("rij,rj->ri", view_inv[:, :3, :3], teq))
+    d = jnp.where(eq[:, None], deq, d)
     origin = cam.origin[vp][:, :3]
     return origin, d
 
@@ -67,7 +77,12 @@ def get_camera_ray_dof(cam: CameraUniforms, vp, pixel_coord, screen_size,
     origin = jnp.einsum("rij,rj->ri", view_inv[:, :3, :3], view_origin) + \
         view_inv[:, :3, 3]
     d = normalize(jnp.einsum("rij,rj->ri", view_inv[:, :3, :3], view_dir))
-    return origin, d
+    # equirect cameras have no thin lens (reference: camera.glsl:107
+    # equirect get_camera_ray ignores dof_u)
+    eq = cam.proj_type[vp] == 2
+    o_pin, d_pin = get_camera_ray(cam, vp, pixel_coord, screen_size)
+    return (jnp.where(eq[:, None], o_pin, origin),
+            jnp.where(eq[:, None], d_pin, d))
 
 
 def get_screen_camera_ray(cam: CameraUniforms, vp, pixel_pos, screen_size,
@@ -86,12 +101,24 @@ def get_screen_camera_ray(cam: CameraUniforms, vp, pixel_pos, screen_size,
 
 
 def get_camera_projection(cam: CameraUniforms, vp, world_pos):
-    """(reference: shader/camera.glsl get_camera_projection)"""
+    """(reference: shader/camera.glsl get_camera_projection; the
+    equirectangular variant is camera.glsl:126-134)"""
     vpm = cam.view_proj[vp]
     pr = jnp.einsum("rij,rj->ri", vpm[:, :3, :3], world_pos) + vpm[:, :3, 3]
     w = jnp.einsum("rj,rj->r", cam.view_proj[vp][:, 3, :3], world_pos) + \
         cam.view_proj[vp][:, 3, 3]
     uv = pr[:, :2] / w[:, None] * 0.5 + 0.5
+    eq = cam.proj_type[vp] == 2
+    vm = cam.view[vp]
+    t = jnp.einsum("rij,rj->ri", vm[:, :3, :3], world_pos) + vm[:, :3, 3]
+    t_len = jnp.maximum(jnp.linalg.norm(t, axis=-1), 1e-12)
+    tn = t / t_len[:, None]
+    fov = jnp.maximum(cam.pan[vp][:, :2], 1e-9)
+    uv_eq = jnp.stack([jnp.arctan2(tn[:, 0], -tn[:, 2]),
+                       jnp.arcsin(jnp.clip(tn[:, 1], -1, 1))],
+                      axis=-1) / fov * 0.5 + 0.5
+    uv = jnp.where(eq[:, None], uv_eq, uv)
+    w = jnp.where(eq, t_len, w)
     return jnp.concatenate([uv, w[:, None]], axis=-1)
 
 

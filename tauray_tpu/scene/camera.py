@@ -163,8 +163,17 @@ class Camera:
         view = np.linalg.inv(inv_view).astype(np.float32)
         origin = inv_view[:, 3].copy()
         if self.type == EQUIRECTANGULAR:
-            return dict(view=view, view_inverse=inv_view, origin=origin,
-                        fov=np.radians(self.eq_fov) * 0.5)
+            # half-fov radians in pan.xy (reference: src/camera.cc:474
+            # equirectangular_camera_data_buffer.fov)
+            pan = np.zeros(4, dtype=np.float32)
+            pan[:2] = np.radians(self.eq_fov) * 0.5
+            eye = np.eye(4, dtype=np.float32)
+            return dict(
+                view=view, view_inverse=inv_view, view_proj=view,
+                proj_inverse=eye, origin=origin,
+                dof_params=np.zeros(4, np.float32),
+                projection_info=np.zeros(4, np.float32), pan=pan,
+                proj_type=np.array(float(EQUIRECTANGULAR), np.float32))
         proj = self.get_projection_matrix()
         inv_proj = np.linalg.inv(proj).astype(np.float32)
         pan = np.zeros(4, dtype=np.float32)
@@ -178,7 +187,8 @@ class Camera:
             view_proj=(proj @ view).astype(np.float32),
             proj_inverse=inv_proj, origin=origin,
             dof_params=self.focus if self.type == PERSPECTIVE else np.zeros(4, np.float32),
-            projection_info=self.get_projection_info(), pan=pan)
+            projection_info=self.get_projection_info(), pan=pan,
+            proj_type=np.array(float(self.type), np.float32))
 
 
 class CameraLog:

@@ -156,9 +156,12 @@ class CameraUniforms(NamedTuple):
     dof_params: Any    # (V, 4)
     projection_info: Any
     pan: Any
+    proj_type: Any     # (V,) i32: 0 perspective, 1 ortho, 2 equirect
 
 
 def to_camera_uniforms(d: Dict[str, np.ndarray]) -> CameraUniforms:
+    n_vp = d["view"].shape[0]
+    proj_type = d.get("proj_type", np.zeros(n_vp, np.float32))
     return CameraUniforms(
         view=jnp.asarray(d["view"]),
         view_inverse=jnp.asarray(d["view_inverse"]),
@@ -168,4 +171,5 @@ def to_camera_uniforms(d: Dict[str, np.ndarray]) -> CameraUniforms:
         dof_params=jnp.asarray(d["dof_params"]),
         projection_info=jnp.asarray(d["projection_info"]),
         pan=jnp.asarray(d["pan"]),
+        proj_type=jnp.asarray(proj_type).astype(jnp.int32).reshape(-1),
     )
