@@ -46,7 +46,12 @@ class DistributedPathTracerRenderer(PathTracerRenderer):
     def __init__(self, opt, mesh: Optional[Mesh] = None,
                  direct_only: bool = False):
         self.mesh = mesh if mesh is not None else make_mesh(opt.mesh_shape)
-        self.n_devices = self.mesh.devices.size
+        # --fake-devices=N: each physical device carries N logical
+        # workloads, exercising the full distribution/stitch/balancing
+        # path without the hardware (reference: src/context.cc fake device
+        # multiplication, SURVEY.md §4 --fake-devices test mode)
+        self.fake = max(int(getattr(opt, "fake_devices", 0)), 1)
+        self.n_devices = self.mesh.devices.size * self.fake
         super().__init__(opt, direct_only=direct_only)
 
     # ------------------------------------------------------------------
@@ -109,21 +114,26 @@ class DistributedPathTracerRenderer(PathTracerRenderer):
         cfg = self.cfg
         mesh = self.mesh
         V = cfg.n_views
+        F = self.fake
 
         def per_device(scene, bvh, cam, prev_cam, pix, valid, prev_samples):
-            # local block shapes: pix (1, N, 2), valid (1, N)
-            pix = pix[0]
-            valid = valid[0]
-            N = pix.shape[0]
-            outs = []
-            for v in range(V):
-                vp = jnp.full(N, v, jnp.int32)
-                outs.append(pt_trace_pass_inline(
-                    cfg, scene, bvh, cam, prev_cam, pix, vp,
-                    jnp.full(N, prev_samples[0], jnp.uint32)))
-            color = jnp.stack(outs)              # (V, N, 4)
-            color = jnp.where(valid[None, :, None], color, 0.0)
-            return color[None]                   # (1, V, N, 4)
+            # local block shapes: pix (F, N, 2), valid (F, N) — one row
+            # per logical workload mapped to this physical device
+            outs_f = []
+            for f in range(F):
+                pix_f = pix[f]
+                valid_f = valid[f]
+                N = pix_f.shape[0]
+                outs = []
+                for v in range(V):
+                    vp = jnp.full(N, v, jnp.int32)
+                    outs.append(pt_trace_pass_inline(
+                        cfg, scene, bvh, cam, prev_cam, pix_f, vp,
+                        jnp.full(N, prev_samples[f], jnp.uint32)))
+                color = jnp.stack(outs)          # (V, N, 4)
+                outs_f.append(
+                    jnp.where(valid_f[None, :, None], color, 0.0))
+            return jnp.stack(outs_f)             # (F, V, N, 4)
 
         try:
             from jax import shard_map

@@ -68,3 +68,35 @@ def test_distributed_load_balancing_rebalance():
     assert abs(float(np.nanmean(img1)) -
                float(np.nanmean(img0))) < 0.25 * max(
         float(np.nanmean(img0)), 1e-3)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs virtual mesh")
+def test_fake_devices_multiplies_workloads():
+    """--fake-devices=N: N logical workloads per physical device run the
+    full distribution/stitch path (reference: SURVEY.md §4 fake-devices
+    test mode) and still reproduce the single-device image."""
+    from tauray_tpu.options import Options
+    from tauray_tpu.renderer.rt_renderer import PathTracerRenderer
+    from tauray_tpu.renderer.distributed import DistributedPathTracerRenderer
+
+    s, arrays, _ = _tiny_scene()
+    opt = Options()
+    opt.width = opt.height = 32
+    opt.max_ray_depth = 2
+    opt.tonemap = "linear"
+    opt.fake_devices = 2
+
+    dist = DistributedPathTracerRenderer(opt)
+    assert dist.n_devices == 2 * len(jax.devices())
+    dist.set_scene(s)
+    img_fake = dist.render()
+
+    s2, _, _ = _tiny_scene()
+    opt2 = Options()
+    opt2.width = opt2.height = 32
+    opt2.max_ray_depth = 2
+    opt2.tonemap = "linear"
+    single = PathTracerRenderer(opt2)
+    single.set_scene(s2)
+    img_single = single.render()
+    np.testing.assert_allclose(img_fake, img_single, atol=2e-3)
