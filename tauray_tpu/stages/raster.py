@@ -29,13 +29,15 @@ from .shadow_map import ShadowMaps, pcf_visibility
 
 @partial(jax.jit, static_argnames=("width", "height", "n_views",
                                    "has_shadow_maps", "pcf_samples",
-                                   "has_alpha", "sh_order", "has_sh"))
+                                   "has_alpha", "sh_order", "has_sh",
+                                   "has_envmap"))
 def render_raster(scene: DeviceScene, bvh, cam: CameraUniforms,
                   prev_cam: CameraUniforms, shadow_maps: Optional[ShadowMaps],
                   map_table, sh_coefficients, width: int, height: int,
                   n_views: int, ambient, min_ray_dist: float,
                   has_shadow_maps: bool, pcf_samples: int, has_alpha: bool,
-                  sh_order: int = 2, has_sh: bool = False):
+                  sh_order: int = 2, has_sh: bool = False,
+                  has_envmap: bool = False):
     """Returns dict of G-buffer images, each (V, H, W, C)."""
     from ..ops.trace_utils import trace_alpha
     V, H, W = n_views, height, width
@@ -142,7 +144,10 @@ def render_raster(scene: DeviceScene, bvh, cam: CameraUniforms,
 
     rgb = modulate_color(mat, diffuse, reflection) + mat.emission
     alpha = jnp.where(miss, 0.0, 1.0)
-    bg = jnp.broadcast_to(scene.env_factor[None, :3], (R, 3))
+    # skybox: envmap lookup along the ray like the reference's
+    # envmap_stage (reference: shader/envmap.frag), else env_factor
+    from ..ops.lights import environment_radiance
+    bg, _ = environment_radiance(scene, d, has_envmap)
     rgb = jnp.where(miss[:, None], bg, rgb)
     color = jnp.concatenate([rgb, alpha[:, None]], axis=-1)
 
