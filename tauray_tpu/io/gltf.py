@@ -197,6 +197,8 @@ def load_gltf(path: str, scene: Optional[Scene] = None) -> Scene:
         mat.double_sided = m.get("doubleSided", False)
         if m.get("alphaMode", "OPAQUE") == "MASK":
             mat.alpha_cutoff = m.get("alphaCutoff", 0.5)
+        elif m.get("alphaMode", "OPAQUE") == "BLEND":
+            mat.blend = True
         return mat
 
     materials = [load_material(i) for i in range(len(j.get("materials", [])))]

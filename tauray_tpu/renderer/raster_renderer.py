@@ -88,7 +88,8 @@ class RasterRenderer(Renderer):
             np.asarray(opt.ambient, np.float32), opt.min_ray_dist,
             self.shadow_maps is not None, max(opt.pcf, 1),
             self.arrays.any_alpha_materials, opt.sh_order, sh is not None,
-            self.arrays.environment_map is not None)
+            self.arrays.environment_map is not None,
+            getattr(self.arrays, "any_blend_materials", False))
         self._prev_cam = cam
         if (self.post.use_svgf or self.post.use_bmfr or self.post.use_taa or
                 self.post.use_temporal_reprojection):

@@ -126,6 +126,7 @@ class SceneArrays:
         self.inst_st_mul = np.ones(I, dtype=np.float32)
         self.inst_light_base = np.full(I, -1, dtype=np.int32)
         self.inst_has_alpha = np.zeros(I, dtype=np.bool_)
+        self.inst_blend = np.zeros(I, dtype=np.bool_)
         self.inst_model = np.tile(np.eye(4, dtype=np.float32), (I, 1, 1))
 
         mats = []
@@ -152,7 +153,9 @@ class SceneArrays:
                 if (texs[mat.albedo_tex][..., 3] < 255).any():
                     has_alpha = True
             self.inst_has_alpha[i] = has_alpha
+            self.inst_blend[i] = getattr(mat, "blend", False)
         self.any_alpha_materials = bool(self.inst_has_alpha.any())
+        self.any_blend_materials = bool(self.inst_blend.any())
         self._materials = mats
 
         # --- merged object-space soup, gathered per-corner -----------------

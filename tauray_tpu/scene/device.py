@@ -38,6 +38,7 @@ class DeviceScene(NamedTuple):
     inst_st_mul: Any        # (I,)
     inst_light_base: Any    # (I,) i32
     inst_has_alpha: Any     # (I,) bool
+    inst_blend: Any         # (I,) bool (glTF alphaMode BLEND)
     # lights
     pl_color: Any
     pl_pos: Any
@@ -114,6 +115,8 @@ def to_device_scene(sa: SceneArrays, transparent_background: bool = False
         inst_st_mul=jnp.asarray(sa.inst_st_mul),
         inst_light_base=jnp.asarray(sa.inst_light_base),
         inst_has_alpha=jnp.asarray(sa.inst_has_alpha),
+        inst_blend=jnp.asarray(getattr(sa, "inst_blend",
+                                       np.zeros_like(sa.inst_has_alpha))),
         pl_color=jnp.asarray(sa.pl_color),
         pl_pos=jnp.asarray(sa.pl_pos),
         pl_dir=jnp.asarray(sa.pl_dir),

@@ -27,6 +27,7 @@ class Material:
     double_sided: bool = False
     transient: bool = False
     alpha_cutoff: float = -1.0  # >= 0 enables MASK mode
+    blend: bool = False         # glTF alphaMode BLEND
     albedo_tex: int = -1
     metallic_roughness_tex: int = -1
     normal_tex: int = -1

@@ -30,14 +30,14 @@ from .shadow_map import ShadowMaps, pcf_visibility
 @partial(jax.jit, static_argnames=("width", "height", "n_views",
                                    "has_shadow_maps", "pcf_samples",
                                    "has_alpha", "sh_order", "has_sh",
-                                   "has_envmap"))
+                                   "has_envmap", "has_blend"))
 def render_raster(scene: DeviceScene, bvh, cam: CameraUniforms,
                   prev_cam: CameraUniforms, shadow_maps: Optional[ShadowMaps],
                   map_table, sh_coefficients, width: int, height: int,
                   n_views: int, ambient, min_ray_dist: float,
                   has_shadow_maps: bool, pcf_samples: int, has_alpha: bool,
                   sh_order: int = 2, has_sh: bool = False,
-                  has_envmap: bool = False):
+                  has_envmap: bool = False, has_blend: bool = False):
     """Returns dict of G-buffer images, each (V, H, W, C)."""
     from ..ops.trace_utils import trace_alpha
     V, H, W = n_views, height, width
@@ -52,103 +52,135 @@ def render_raster(scene: DeviceScene, bvh, cam: CameraUniforms,
     hit = trace_alpha(scene, bvh, origin, d,
                       jnp.full(R, min_ray_dist, jnp.float32),
                       jnp.full(R, jnp.inf, jnp.float32), 1e-4, has_alpha)
-    miss = hit.tri_id < 0
-    v = interpolate_vertex(scene, hit.tri_id, hit.u, hit.v, d)
-    mat, v = sample_material(scene, v)
+    def shade(hit):
+        """Forward shading of one hit layer (reference:
+        shader/forward.frag); returns (rgb incl. skybox on miss,
+        mat, v, miss)."""
+        miss = hit.tri_id < 0
+        v = interpolate_vertex(scene, hit.tri_id, hit.u, hit.v, d)
+        mat, v = sample_material(scene, v)
 
-    t, b, n = create_tangent_space(v.mapped_normal)
-    shading_view = to_tangent_space(-d, t, b, n)
+        t, b, n = create_tangent_space(v.mapped_normal)
+        shading_view = to_tangent_space(-d, t, b, n)
 
-    diffuse = jnp.zeros((R, 3), jnp.float32)
-    reflection = jnp.zeros((R, 3), jnp.float32)
-    n_dir = scene.dl_color.shape[0]
-    n_point = scene.pl_color.shape[0]
+        diffuse = jnp.zeros((R, 3), jnp.float32)
+        reflection = jnp.zeros((R, 3), jnp.float32)
+        n_dir = scene.dl_color.shape[0]
+        n_point = scene.pl_color.shape[0]
 
-    # directional lights (reference: forward.frag eval_punctual_lights)
-    for i in range(n_dir):
-        active = i < scene.directional_light_count
-        ldir = -scene.dl_dir[i]
-        lobes = ggx_bsdf(to_tangent_space(
-            jnp.broadcast_to(ldir, (R, 3)), t, b, n), shading_view, mat)
-        vis = jnp.ones(R, jnp.float32)
-        if has_shadow_maps:
-            dir_map_ids = map_table[0]
-            vis = pcf_visibility(
-                shadow_maps,
-                jnp.broadcast_to(dir_map_ids[i], (R,)).astype(jnp.int32),
-                v.pos, pcf_samples)
-        facing = jnp.sum(v.hard_normal * ldir, -1) > 0
-        vis = jnp.where(facing, vis, 0.0)
-        contrib = jnp.where(active, 1.0, 0.0) * vis
-        color = scene.dl_color[i] * contrib[:, None]
-        diffuse, reflection = add_demodulated_color(lobes, color, diffuse,
-                                                    reflection)
+        # directional lights (reference: forward.frag eval_punctual_lights)
+        for i in range(n_dir):
+            active = i < scene.directional_light_count
+            ldir = -scene.dl_dir[i]
+            lobes = ggx_bsdf(to_tangent_space(
+                jnp.broadcast_to(ldir, (R, 3)), t, b, n), shading_view, mat)
+            vis = jnp.ones(R, jnp.float32)
+            if has_shadow_maps:
+                dir_map_ids = map_table[0]
+                vis = pcf_visibility(
+                    shadow_maps,
+                    jnp.broadcast_to(dir_map_ids[i], (R,)).astype(jnp.int32),
+                    v.pos, pcf_samples)
+            facing = jnp.sum(v.hard_normal * ldir, -1) > 0
+            vis = jnp.where(facing, vis, 0.0)
+            contrib = jnp.where(active, 1.0, 0.0) * vis
+            color = scene.dl_color[i] * contrib[:, None]
+            diffuse, reflection = add_demodulated_color(lobes, color, diffuse,
+                                                        reflection)
 
-    # point/spot lights
-    for i in range(n_point):
-        active = i < scene.point_light_count
-        from ..ops.lights import get_spotlight_intensity
-        lvec = scene.pl_pos[i] - v.pos
-        dist2 = jnp.sum(lvec * lvec, -1)
-        ldir = lvec / jnp.sqrt(jnp.maximum(dist2, 1e-20))[:, None]
-        spot = get_spotlight_intensity(scene.pl_dir_cutoff[i],
-                                       scene.pl_dir_falloff[i],
-                                       scene.pl_dir[i], ldir)
-        lcolor = spot[:, None] * scene.pl_color[i] / \
-            jnp.maximum(dist2, 1e-20)[:, None]
-        lobes = ggx_bsdf(to_tangent_space(ldir, t, b, n), shading_view, mat)
-        vis = jnp.ones(R, jnp.float32)
-        if has_shadow_maps:
-            _, pt_base, pt_nfaces = map_table
-            # cube faces ordered +x,-x,+y,-y,+z,-z (light -> point dir)
-            dd = -ldir
-            ax = jnp.argmax(jnp.abs(dd), axis=-1)
-            neg = jnp.take_along_axis(dd, ax[:, None], axis=-1)[:, 0] < 0
-            face = ax * 2 + neg.astype(jnp.int32)
-            mid = jnp.where(pt_nfaces[i] > 1, pt_base[i] + face,
-                            pt_base[i]).astype(jnp.int32)
-            vis = pcf_visibility(shadow_maps, mid, v.pos, pcf_samples)
-        facing = jnp.sum(v.hard_normal * ldir, -1) > 0
-        vis = jnp.where(facing, vis, 0.0)
-        color = lcolor * (jnp.where(active, 1.0, 0.0) * vis)[:, None]
-        diffuse, reflection = add_demodulated_color(lobes, color, diffuse,
-                                                    reflection)
+        # point/spot lights
+        for i in range(n_point):
+            active = i < scene.point_light_count
+            from ..ops.lights import get_spotlight_intensity
+            lvec = scene.pl_pos[i] - v.pos
+            dist2 = jnp.sum(lvec * lvec, -1)
+            ldir = lvec / jnp.sqrt(jnp.maximum(dist2, 1e-20))[:, None]
+            spot = get_spotlight_intensity(scene.pl_dir_cutoff[i],
+                                           scene.pl_dir_falloff[i],
+                                           scene.pl_dir[i], ldir)
+            lcolor = spot[:, None] * scene.pl_color[i] / \
+                jnp.maximum(dist2, 1e-20)[:, None]
+            lobes = ggx_bsdf(to_tangent_space(ldir, t, b, n), shading_view, mat)
+            vis = jnp.ones(R, jnp.float32)
+            if has_shadow_maps:
+                _, pt_base, pt_nfaces = map_table
+                # cube faces ordered +x,-x,+y,-y,+z,-z (light -> point dir)
+                dd = -ldir
+                ax = jnp.argmax(jnp.abs(dd), axis=-1)
+                neg = jnp.take_along_axis(dd, ax[:, None], axis=-1)[:, 0] < 0
+                face = ax * 2 + neg.astype(jnp.int32)
+                mid = jnp.where(pt_nfaces[i] > 1, pt_base[i] + face,
+                                pt_base[i]).astype(jnp.int32)
+                vis = pcf_visibility(shadow_maps, mid, v.pos, pcf_samples)
+            facing = jnp.sum(v.hard_normal * ldir, -1) > 0
+            vis = jnp.where(facing, vis, 0.0)
+            color = lcolor * (jnp.where(active, 1.0, 0.0) * vis)[:, None]
+            diffuse, reflection = add_demodulated_color(lobes, color, diffuse,
+                                                        reflection)
 
-    # indirect: SH grid irradiance or ambient fallback
-    # (reference: forward.frag eval_indirect_light; trilinear probe
-    # interpolation like shader/spherical_harmonics.glsl sh lookup)
-    if has_sh:
-        coef_grid, world_to_local = sh_coefficients
-        local = jnp.einsum("ij,rj->ri", world_to_local[:3, :3], v.pos) + \
-            world_to_local[:3, 3]
-        rz, ry, rx = coef_grid.shape[:3]
-        res = jnp.array([rx, ry, rz], jnp.float32)
-        g = (local * 0.5 + 0.5) * res - 0.5     # grid-space coords
-        g0 = jnp.floor(g).astype(jnp.int32)
-        f = g - g0
-        coefs = 0.0
-        for dz in (0, 1):
-            for dy in (0, 1):
-                for dx in (0, 1):
-                    ix = jnp.clip(g0[:, 0] + dx, 0, rx - 1)
-                    iy = jnp.clip(g0[:, 1] + dy, 0, ry - 1)
-                    iz = jnp.clip(g0[:, 2] + dz, 0, rz - 1)
-                    w = (jnp.where(dx, f[:, 0], 1 - f[:, 0]) *
-                         jnp.where(dy, f[:, 1], 1 - f[:, 1]) *
-                         jnp.where(dz, f[:, 2], 1 - f[:, 2]))
-                    coefs = coefs + coef_grid[iz, iy, ix] * w[:, None, None]
-        E = eval_irradiance(coefs, v.mapped_normal, sh_order)
-        diffuse = diffuse + jnp.maximum(E, 0.0)
-    else:
-        diffuse = diffuse + jnp.asarray(ambient)[None, :]
+        # indirect: SH grid irradiance or ambient fallback
+        # (reference: forward.frag eval_indirect_light; trilinear probe
+        # interpolation like shader/spherical_harmonics.glsl sh lookup)
+        if has_sh:
+            coef_grid, world_to_local = sh_coefficients
+            local = jnp.einsum("ij,rj->ri", world_to_local[:3, :3], v.pos) + \
+                world_to_local[:3, 3]
+            rz, ry, rx = coef_grid.shape[:3]
+            res = jnp.array([rx, ry, rz], jnp.float32)
+            g = (local * 0.5 + 0.5) * res - 0.5     # grid-space coords
+            g0 = jnp.floor(g).astype(jnp.int32)
+            f = g - g0
+            coefs = 0.0
+            for dz in (0, 1):
+                for dy in (0, 1):
+                    for dx in (0, 1):
+                        ix = jnp.clip(g0[:, 0] + dx, 0, rx - 1)
+                        iy = jnp.clip(g0[:, 1] + dy, 0, ry - 1)
+                        iz = jnp.clip(g0[:, 2] + dz, 0, rz - 1)
+                        w = (jnp.where(dx, f[:, 0], 1 - f[:, 0]) *
+                             jnp.where(dy, f[:, 1], 1 - f[:, 1]) *
+                             jnp.where(dz, f[:, 2], 1 - f[:, 2]))
+                        coefs = coefs + coef_grid[iz, iy, ix] * w[:, None, None]
+            E = eval_irradiance(coefs, v.mapped_normal, sh_order)
+            diffuse = diffuse + jnp.maximum(E, 0.0)
+        else:
+            diffuse = diffuse + jnp.asarray(ambient)[None, :]
 
-    rgb = modulate_color(mat, diffuse, reflection) + mat.emission
+        rgb = modulate_color(mat, diffuse, reflection) + mat.emission
+        alpha = jnp.where(miss, 0.0, 1.0)
+        # skybox: envmap lookup along the ray like the reference's
+        # envmap_stage (reference: shader/envmap.frag), else env_factor
+        from ..ops.lights import environment_radiance
+        bg, _ = environment_radiance(scene, d, has_envmap)
+        rgb = jnp.where(miss[:, None], bg, rgb)
+        return rgb, mat, v, miss, diffuse, reflection
+
+    rgb, mat, v, miss, diffuse, reflection = shade(hit)
+    # alpha-BLEND materials: composite the front blend layer over
+    # the next non-blend surface along the ray (reference: raster
+    # pipeline alpha blending; one blend layer deep)
+    if has_blend:
+        from ..ops.intersect import Hit as _Hit
+        inst = scene.tri_instance[jnp.maximum(hit.tri_id, 0)]
+        front_blend = (hit.tri_id >= 0) & scene.inst_blend[inst]
+        tmin2 = jnp.where(front_blend,
+                          hit.t * 1.0001 + 1e-4, min_ray_dist)
+        h2 = trace_alpha(scene, bvh, origin, d, tmin2,
+                         jnp.full(R, jnp.inf), 1e-4, has_alpha)
+        for _ in range(2):
+            i2 = scene.tri_instance[jnp.maximum(h2.tri_id, 0)]
+            again = (h2.tri_id >= 0) & scene.inst_blend[i2]
+            tmin2 = jnp.where(again, h2.t * 1.0001 + 1e-4, tmin2)
+            h2b = trace_alpha(scene, bvh, origin, d, tmin2,
+                              jnp.full(R, jnp.inf), 1e-4, has_alpha)
+            h2 = _Hit(*(jnp.where(again, b2, a2)
+                        for a2, b2 in zip(h2, h2b)))
+        rgb_back = shade(h2)[0]
+        a_front = jnp.clip(mat.albedo[:, 3], 0.0, 1.0)
+        blended = a_front[:, None] * rgb + \
+            (1.0 - a_front[:, None]) * rgb_back
+        rgb = jnp.where(front_blend[:, None], blended, rgb)
     alpha = jnp.where(miss, 0.0, 1.0)
-    # skybox: envmap lookup along the ray like the reference's
-    # envmap_stage (reference: shader/envmap.frag), else env_factor
-    from ..ops.lights import environment_radiance
-    bg, _ = environment_radiance(scene, d, has_envmap)
-    rgb = jnp.where(miss[:, None], bg, rgb)
     color = jnp.concatenate([rgb, alpha[:, None]], axis=-1)
 
     screen_motion = get_camera_projection(prev_cam, vp, v.prev_pos)
