@@ -246,7 +246,16 @@ def replay_viewer(opt: Options, s: Scene):
             if hasattr(rr, "update_frame") and i > 0:
                 rr.update_frame()
             rr.reset_accumulation()
-            img = rr.render()
+            try:
+                img = rr.render()
+            except Exception as e:  # renderer-rebuild-on-error loop
+                # (reference: src/tauray.cc:991-1001 swapchain recovery +
+                # tauray.cc:843-859 keep-alive on broken shader reload)
+                TR_WARN(f"frame {i} failed ({type(e).__name__}: {e}); "
+                        "rebuilding renderer and retrying once")
+                rr = create_renderer(opt, s)
+                rr.set_scene(s)
+                img = rr.render()
             tracing.end_frame(rr.get_timing())
             if opt.timing:
                 tracing.print_last_trace()
@@ -278,6 +287,12 @@ def main(argv: Optional[List[str]] = None) -> int:
         return 1
     if opt.timing_output:
         logger.timing.stream = open(opt.timing_output, "w")
+    if opt.validation:
+        # TPU analogue of the reference's Vulkan validation layers
+        # (reference: context.hh:41 --validation; SURVEY.md §5.2): trap
+        # NaNs at the op that produced them instead of in the output scan
+        import jax
+        jax.config.update("jax_debug_nans", True)
 
     # run-mode selection (reference: src/tauray.cc:1169-1187)
     if opt.display == "frame-client":
