@@ -111,7 +111,9 @@ def render_raster(scene: DeviceScene, bvh, cam: CameraUniforms,
                 face = ax * 2 + neg.astype(jnp.int32)
                 mid = jnp.where(pt_nfaces[i] > 1, pt_base[i] + face,
                                 pt_base[i]).astype(jnp.int32)
-                vis = pcf_visibility(shadow_maps, mid, v.pos, pcf_samples)
+                vis = pcf_visibility(
+                shadow_maps, mid, v.pos, pcf_samples,
+                ndotl=jnp.clip(jnp.sum(v.mapped_normal * ldir, -1), 0, 1))
             facing = jnp.sum(v.hard_normal * ldir, -1) > 0
             vis = jnp.where(facing, vis, 0.0)
             color = lcolor * (jnp.where(active, 1.0, 0.0) * vis)[:, None]

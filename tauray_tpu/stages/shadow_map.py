@@ -139,7 +139,7 @@ _PCF_DISK = np.array([
 
 
 def pcf_visibility(maps: ShadowMaps, map_id, world_pos, pcf_samples: int = 16,
-                   pcf_radius: float = 1.5):
+                   pcf_radius: float = 1.5, ndotl=None):
     """Percentage-closer filtering (reference:
     shader/shadow_mapping.glsl PCF loop). map_id: (R,), world_pos: (R, 3).
     """
@@ -165,6 +165,10 @@ def pcf_visibility(maps: ShadowMaps, map_id, world_pos, pcf_samples: int = 16,
     in_bounds = (jnp.abs(u) < 1) & (jnp.abs(v) < 1) & (z > 0) & \
         (z < pr[:, 3])
     bias = maps.bias[mi]
+    if ndotl is not None:
+        # slope-scaled bias (reference: shader/shadow_mapping.glsl:120
+        # max(max_bias * (1 - ndotl), min_bias))
+        bias = jnp.maximum(bias * (1.0 - ndotl), 0.25 * bias)
 
     taps = min(pcf_samples, len(_PCF_DISK))
     disk = jnp.asarray(_PCF_DISK[:max(taps, 1)]) * pcf_radius
