@@ -124,9 +124,13 @@ class PathTracerRenderer(Renderer):
     def save_checkpoint(self, path: str):
         if self.accum_color is None:
             return
-        np.savez(path, accum_color=np.asarray(self.accum_color),
-                 samples_accumulated=self.samples_accumulated,
-                 frame_counter=self.frame_counter)
+        # np.savez appends ".npz" to extension-less paths; pass an open
+        # file object so the exact user-given path is written and
+        # load_checkpoint's existence check matches.
+        with open(path, "wb") as f:
+            np.savez(f, accum_color=np.asarray(self.accum_color),
+                     samples_accumulated=self.samples_accumulated,
+                     frame_counter=self.frame_counter)
 
     def load_checkpoint(self, path: str) -> bool:
         import os

@@ -489,8 +489,19 @@ def _shade_bounce(cfg: PTConfig, scene: DeviceScene, state, hit, vis,
     view = jnp.where(alive[:, None], new_view, view)
 
     if cfg.russian_roulette_delta > 0:
+        # Unbiased Russian roulette: survivors are reweighted by 1/qi.
+        # Two deviations from the reference (shader/path_tracer.glsl:
+        # 489-496), both bias fixes: (1) the reference computes
+        # `visibility /= qi` into a dead local, so its RR is silently
+        # biased dark; (2) it tests ray_sample.w, which the diffuse lobe
+        # sampler also consumes (shader/ggx.glsl:323), correlating
+        # survival with the outgoing direction. We reweight survivors and
+        # use an independent decision draw.
         qi = min(1.0, 1.0 / cfg.russian_roulette_delta)
-        alive = alive & (ray_sample[:, 3] <= qi)
+        seed, rr_rand = rng_ops.generate_uniform_random_uint(seed)
+        alive = alive & (rng_ops.uint_to_float(rr_rand[:, 0]) <= qi)
+        attenuation = jnp.where(alive[:, None], attenuation / qi,
+                                attenuation)
     alive = alive & (jnp.max(attenuation, axis=-1) > 0.0)
 
     state = (seed, alpha_seed, pos, view, attenuation, bsdf_pdf,
@@ -763,7 +774,9 @@ def _begin_sample(cfg: PTConfig, cam: CameraUniforms, pix_pos, vp,
     coord = jnp.stack([
         pix_pos[:, 0].astype(jnp.uint32),
         pix_pos[:, 1].astype(jnp.uint32),
-        (vp + rng_seed_hash).astype(jnp.uint32),
+        # rng_seed_hash is a full uint32; add in uint32 to avoid int32
+        # overflow when parsing the Python literal
+        vp.astype(jnp.uint32) + jnp.uint32(rng_seed_hash),
         prev_plus_i.astype(jnp.uint32)], axis=-1)
     seed = rng_ops.init_random_sampler(coord)
     seed, film_off = _film_offset(cfg, seed)

@@ -77,10 +77,14 @@ def render_raster(scene: DeviceScene, bvh, cam: CameraUniforms,
             vis = jnp.ones(R, jnp.float32)
             if has_shadow_maps:
                 dir_map_ids = map_table[0]
+                # slope-scaled bias applies to directional maps too
+                # (reference: shader/shadow_mapping.glsl:290)
                 vis = pcf_visibility(
                     shadow_maps,
                     jnp.broadcast_to(dir_map_ids[i], (R,)).astype(jnp.int32),
-                    v.pos, pcf_samples)
+                    v.pos, pcf_samples,
+                    ndotl=jnp.clip(jnp.sum(v.mapped_normal * ldir, -1),
+                                   0, 1))
             facing = jnp.sum(v.hard_normal * ldir, -1) > 0
             vis = jnp.where(facing, vis, 0.0)
             contrib = jnp.where(active, 1.0, 0.0) * vis

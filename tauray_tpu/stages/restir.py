@@ -234,12 +234,9 @@ def restir_di_pass(scene: DeviceScene, tracer, gbuf_pos, gbuf_normal,
         phat, dirs, dist = _target_phat(scene, nee, strat, lidx, u2,
                                         gbuf_pos, gbuf_normal, gbuf_view,
                                         mat, bounce_mode)
-        _, _, _, src_pdf = _eval_light_sample(scene, nee, strat, lidx, u2,
-                                              gbuf_pos)
-        # RIS weight: phat / source_pdf; delta pdfs fold into phat
-        w = jnp.where(strat >= 0,
-                      phat / jnp.maximum(jnp.abs(src_pdf) /
-                                         jnp.abs(src_pdf), 1e-9), 0.0)
+        # RIS weight is just p-hat: _target_phat already folds the
+        # 1/source_pdf factor into its return value (delta pdfs included),
+        # so no explicit phat/source_pdf division happens here.
         w = jnp.where(strat >= 0, phat, 0.0)
         seed, r2 = rng_ops.generate_uniform_random(seed)
         res = _merge(res, strat, lidx, u2, phat, w,

@@ -174,3 +174,22 @@ def test_envmap_constant_furnace():
     # interreflection off the floor (small since floor only sees sky)
     expected = albedo * L
     assert abs(got - expected) / expected < 0.12, (got, expected)
+
+
+def test_russian_roulette_unbiased():
+    """RR must not change expected radiance: survivors are reweighted by
+    1/qi (the reference divides a dead local instead,
+    shader/path_tracer.glsl:489-496 — we keep the estimator unbiased)."""
+    from tauray_tpu.scene.environment_map import EnvironmentMap
+    L, albedo = 1.0, 0.9
+    s = _floor_scene(intensity=0.0, albedo=albedo)
+    s.entities[1].light = None
+    e = s.add("env")
+    e.environment_map = EnvironmentMap(
+        image=np.full((8, 16, 3), L, np.float32))
+    base = _render(s, samples_per_pixel=96, max_ray_depth=4)
+    rr = _render(s, samples_per_pixel=512, max_ray_depth=4,
+                 russian_roulette=2.0, rng_seed=7)
+    got_b = base[2:6, 2:6, :3].mean()
+    got_r = rr[2:6, 2:6, :3].mean()
+    assert abs(got_r - got_b) / got_b < 0.05, (got_r, got_b)
