@@ -3,10 +3,14 @@
 
 Answers: where do the ms of a bench frame go? (ray sort / phase-1 cull /
 phase-2 intersection / shading). Run on TPU.
+
+Timing methodology: see scripts/honest_timing.py — every number here is
+amortized over a jitted lax.scan with per-step input perturbation and a
+forced device_get readback, because single-dispatch timing through the
+device tunnel is unreliable.
 """
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -14,17 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-
-def timeit(fn, *args, n=5, **kw):
-    out = fn(*args, **kw)
-    jax.block_until_ready(out)
-    ts = []
-    for _ in range(n):
-        t0 = time.perf_counter()
-        out = fn(*args, **kw)
-        jax.block_until_ready(out)
-        ts.append(time.perf_counter() - t0)
-    return min(ts) * 1000, out
+from honest_timing import scan_time
 
 
 def main():
@@ -39,6 +33,7 @@ def main():
     scene_path = os.environ.get("TAURAY_BENCH_SCENE",
                                 "/root/reference/test/test.glb")
     W = H = int(os.environ.get("TAURAY_BENCH_SIZE", "256"))
+    N = int(os.environ.get("TAURAY_PROFILE_N", "8"))
     opt = parse_command_line_options([
         "--renderer=path-tracer", f"--width={W}", f"--height={H}",
         "--max-ray-depth=4", "--headless=unused", "--filetype=none",
@@ -80,84 +75,100 @@ def main():
     idr /= np.linalg.norm(idr, axis=1, keepdims=True)
     idr = jnp.asarray(idr)
 
-    trace = jax.jit(lambda o_, d_, tn, tx: tracer.trace(o_, d_, tn, tx))
-    trace_nosort = jax.jit(lambda o_, d_, tn, tx: tracer.trace(
-        o_, d_, tn, tx, sort_rays=False))
-    ms, hit = timeit(trace, origin, d, tmin, tmax)
+    def perturb(o, i):
+        return o + (i.astype(jnp.float32) * 1e-7)[None, None]
+
+    ms = scan_time(lambda i: tracer.trace(perturb(origin, i), d, tmin, tmax),
+                   n=N)
     print(f"coherent wave (sorted):    {ms:8.2f} ms")
-    ms, _ = timeit(trace_nosort, origin, d, tmin, tmax)
+    ms = scan_time(lambda i: tracer.trace(perturb(origin, i), d, tmin, tmax,
+                                          sort_rays=False), n=N)
     print(f"coherent wave (unsorted):  {ms:8.2f} ms")
-    ms, _ = timeit(trace, io, idr, tmin, tmax)
+    ms = scan_time(lambda i: tracer.trace(perturb(io, i), idr, tmin, tmax),
+                   n=N)
     print(f"incoherent wave (sorted):  {ms:8.2f} ms")
-    ms, _ = timeit(trace_nosort, io, idr, tmin, tmax)
+    ms = scan_time(lambda i: tracer.trace(perturb(io, i), idr, tmin, tmax,
+                                          sort_rays=False), n=N)
     print(f"incoherent wave (unsorted):{ms:8.2f} ms")
 
-    # ray sort alone
-    def sortonly(o_, d_):
-        key = _ray_sort_key(o_, d_, tracer.cmin.min(axis=0),
+    def sortonly(i):
+        o_ = perturb(io, i)
+        key = _ray_sort_key(o_, idr, tracer.cmin.min(axis=0),
                             tracer.cmax.max(axis=0))
         perm = jnp.argsort(key)
-        return o_[perm], d_[perm]
-    ms, _ = timeit(jax.jit(sortonly), io, idr)
-    print(f"ray sort alone:            {ms:8.2f} ms")
+        return o_[perm], idr[perm]
+    print(f"ray sort alone:            {scan_time(sortonly, n=N):8.2f} ms")
 
-    # phase 1 alone + activity stats
-    def phase1(o_, d_, tn, tx):
+    def phase1(i):
+        o_ = perturb(origin, i)
         n_tiles = R // TILE
         ro = o_.reshape(n_tiles, TILE, 3)
-        rd = d_.reshape(n_tiles, TILE, 3)
+        rd = d.reshape(n_tiles, TILE, 3)
         inv_d = jnp.where(rd == 0, jnp.float32(3e38),
                           1.0 / jnp.where(rd == 0, 1.0, rd))
         hc = _slab_hit_soa(
             ro[:, None, :, 0], ro[:, None, :, 1], ro[:, None, :, 2],
             inv_d[:, None, :, 0], inv_d[:, None, :, 1], inv_d[:, None, :, 2],
-            tn.reshape(n_tiles, 1, TILE), tx.reshape(n_tiles, 1, TILE),
+            tmin.reshape(n_tiles, 1, TILE), tmax.reshape(n_tiles, 1, TILE),
             tracer.cmin, tracer.cmax)
         return jnp.any(hc, axis=2).sum(axis=1)
+    print(f"phase1 alone:              {scan_time(phase1, n=N):8.2f} ms")
+
+    # activity stats (single dispatch; values, not timing)
     p1 = jax.jit(phase1)
-    ms, counts_c = timeit(p1, origin, d, tmin, tmax)
-    print(f"phase1 alone:              {ms:8.2f} ms")
-    # sorted-ray activity stats
     key = _ray_sort_key(io, idr, tracer.cmin.min(axis=0),
                         tracer.cmax.max(axis=0))
     perm = jnp.argsort(key)
-    counts_i = p1(io[perm], idr[perm], tmin, tmax)
-    ck = _ray_sort_key(origin, d, tracer.cmin.min(axis=0),
-                       tracer.cmax.max(axis=0))
-    cperm = jnp.argsort(ck)
-    counts_cs = p1(origin[cperm], d[cperm], tmin, tmax)
-    for name, c in [("coherent(sorted)", counts_cs),
-                    ("incoherent(sorted)", counts_i),
-                    ("incoherent(raw)", p1(io, idr, tmin, tmax))]:
+    io_s, idr_s = io[perm], idr[perm]
+
+    def phase1_io(i):
+        o_ = perturb(io_s, i)
+        n_tiles = R // TILE
+        ro = o_.reshape(n_tiles, TILE, 3)
+        rd = idr_s.reshape(n_tiles, TILE, 3)
+        inv_d = jnp.where(rd == 0, jnp.float32(3e38),
+                          1.0 / jnp.where(rd == 0, 1.0, rd))
+        hc = _slab_hit_soa(
+            ro[:, None, :, 0], ro[:, None, :, 1], ro[:, None, :, 2],
+            inv_d[:, None, :, 0], inv_d[:, None, :, 1], inv_d[:, None, :, 2],
+            tmin.reshape(n_tiles, 1, TILE), tmax.reshape(n_tiles, 1, TILE),
+            tracer.cmin, tracer.cmax)
+        return jnp.any(hc, axis=2).sum(axis=1)
+    for name, c in [("coherent", jax.device_get(p1(jnp.int32(0)))),
+                    ("incoherent(sorted)",
+                     jax.device_get(jax.jit(phase1_io)(jnp.int32(0))))]:
         c = np.asarray(c)
         print(f"  active clusters/tile {name}: mean={c.mean():.1f} "
               f"p50={np.percentile(c, 50):.0f} p90={np.percentile(c, 90):.0f} "
               f"max={c.max()} (of {tracer.n_clusters})")
 
-    # shading alone
-    hit = trace(origin, d, tmin, tmax)
-    jax.block_until_ready(hit)
+    hit = jax.jit(lambda: tracer.trace(origin, d, tmin, tmax))()
     z = jnp.zeros(R, jnp.float32)
     state = (seed, seed, origin, d, jnp.ones((R, 3), jnp.float32), z,
              jnp.ones(R, jnp.float32), z, z, z, jnp.ones(R, jnp.float32),
              jnp.ones(R, bool), jnp.zeros((R, 4), jnp.float32),
              jnp.zeros((R, 4), jnp.float32))
     vis = jnp.ones(R, jnp.float32)
-    shade = jax.jit(pt._shade_bounce,
-                    static_argnames=("cfg", "is_first", "max_bounces",
-                                     "sobol_bounce"))
-    ms, _ = timeit(lambda: shade(cfg, scene, state, hit, vis, jnp.int32(0),
-                                 True, 4, coord, -1))
-    print(f"shade bounce alone:        {ms:8.2f} ms")
 
-    ms, _ = timeit(lambda: jax.jit(pt._nee_prep, static_argnames=(
-        "cfg", "slot"))(cfg, scene, seed, seed, hit, origin, d, coord, -1))
-    print(f"nee prep alone:            {ms:8.2f} ms")
+    def shade(i):
+        st = (seed + i.astype(jnp.uint32), *state[1:])
+        out, _ = pt._shade_bounce(cfg, scene, st, hit, vis, jnp.int32(0),
+                                  True, 4, coord, -1)
+        return out[-2]
+    print(f"shade bounce alone:        {scan_time(shade, n=N):8.2f} ms")
 
-    # full frame for scale
-    f = jax.jit(pt.pt_trace_pass_inline, static_argnames=("cfg",))
-    ms, _ = timeit(f, cfg, scene, tracer, cam, cam, pix, vp, prev)
+    def neep(i):
+        return pt._nee_prep(cfg, scene, seed + i.astype(jnp.uint32), seed,
+                            hit, origin, d, coord, -1)
+    print(f"nee prep alone:            {scan_time(neep, n=N):8.2f} ms")
+
+    def frame(i):
+        return pt.pt_trace_pass_inline(cfg, scene, tracer, cam, cam, pix,
+                                       vp, prev + i.astype(jnp.uint32))
+    ms = scan_time(frame, n=max(N // 2, 2))
     print(f"full frame (1spp depth4):  {ms:8.2f} ms")
+    rays = R * 4 * 2
+    print(f"  -> {rays / ms / 1e3:.1f} Mrays/s")
 
 
 if __name__ == "__main__":

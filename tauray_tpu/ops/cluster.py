@@ -32,7 +32,7 @@ serves as the reference's BLAS "update" path
 from __future__ import annotations
 
 from functools import partial
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -51,7 +51,7 @@ TILE_CHUNK = int(_os.environ.get("TAURAY_TILE_CHUNK", "64"))
 @jax.tree_util.register_pytree_node_class
 class ClusterTracer:
     def __init__(self, v0, e1, e2, tri_valid, to_orig, cmin, cmax,
-                 n_clusters: int, tris9=None, tvalid_f=None):
+                 n_clusters: int, tris9=None, tvalid_f=None, opaque=None):
         # (C, CLUSTER, 3) triangle blocks in cluster-major layout
         self.v0 = v0
         self.e1 = e1
@@ -64,10 +64,15 @@ class ClusterTracer:
         # pallas-kernel layouts: (C, 9, 1, CLUSTER) components-in-lanes
         self.tris9 = tris9
         self.tvalid_f = tvalid_f
+        # (C,) i32: 1 when every valid triangle in the cluster is opaque
+        # (no alpha-capable material) — lets any-hit shadow traversal
+        # terminate on the first opaque hit
+        self.opaque = opaque
 
     def tree_flatten(self):
         return ((self.v0, self.e1, self.e2, self.tri_valid, self.to_orig,
-                 self.cmin, self.cmax, self.tris9, self.tvalid_f),
+                 self.cmin, self.cmax, self.tris9, self.tvalid_f,
+                 self.opaque),
                 (self.n_clusters,))
 
     @classmethod
@@ -84,21 +89,27 @@ class ClusterTracer:
         tvalid_f = self.tri_valid.astype(jnp.float32)[:, None, :]
         return ClusterTracer(self.v0, self.e1, self.e2, self.tri_valid,
                              self.to_orig, self.cmin, self.cmax,
-                             self.n_clusters, tris9, tvalid_f)
+                             self.n_clusters, tris9, tvalid_f, self.opaque)
 
     # ------------------------------------------------------------------
     def trace(self, origins, dirs, t_min, t_max, any_hit: bool = False,
-              sort_rays: bool = True) -> Hit:
+              sort_rays: Optional[bool] = None) -> Hit:
         """sort_rays: reorder rays by (direction octant, origin Morton)
-        before tiling — incoherent bounce/shadow waves otherwise activate
-        nearly every cluster in every tile (the TPU analogue of GPU
-        wavefront ray sorting)."""
+        before tiling. Default: off on the pallas path — its front-to-back
+        early exit makes the sort's coherence gain smaller than the
+        argsort+gather cost — and on for the XLA fallback, whose lockstep
+        fori loop pays for the whole per-chunk max cluster count (the TPU
+        analogue of GPU wavefront ray sorting)."""
+        if sort_rays is None:
+            sort_rays = self.tris9 is None
         o = jnp.asarray(origins, jnp.float32)
         d = jnp.asarray(dirs, jnp.float32)
         R = o.shape[0]
         t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (R,))
         t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (R,))
-        pad = (-R) % (TILE * TILE_CHUNK)
+        # pallas kernel processes G=8 tiles per grid step; the XLA
+        # fallback chunks by TILE_CHUNK tiles
+        pad = (-R) % (TILE * max(TILE_CHUNK, 8))
         if pad:
             o = jnp.concatenate([o, jnp.zeros((pad, 3), o.dtype)])
             d = jnp.concatenate([d, jnp.ones((pad, 3), d.dtype)])
@@ -111,20 +122,29 @@ class ClusterTracer:
                                 self.cmax.max(axis=0))
             perm = jnp.argsort(key)
             hit = tracefn(self, o[perm], d[perm], t_min[perm],
-                          t_max[perm])
+                          t_max[perm], any_hit)
             inv = jnp.zeros_like(perm).at[perm].set(
                 jnp.arange(perm.shape[0], dtype=perm.dtype))
             hit = Hit(*(x[inv] for x in hit))
         else:
-            hit = tracefn(self, o, d, t_min, t_max)
+            hit = tracefn(self, o, d, t_min, t_max, any_hit)
         t, tid, u, v = (x[:R] for x in hit)
         tid = jnp.where(tid >= 0, self.to_orig[jnp.maximum(tid, 0)], -1)
         return Hit(t, tid, u, v)
 
 
-def build_cluster_tracer(tri_pos, tri_instance) -> Tuple[ClusterTracer,
-                                                         np.ndarray]:
-    """Host-side build: morton sort + clustering. Returns (tracer, perm)."""
+def tri_opacity(tri_instance, inst_has_alpha) -> np.ndarray:
+    """(T,) bool — triangle's instance has no alpha-capable material."""
+    inst = np.maximum(np.asarray(tri_instance), 0)
+    return ~np.asarray(inst_has_alpha)[inst]
+
+
+def build_cluster_tracer(tri_pos, tri_instance, tri_opaque=None
+                         ) -> Tuple[ClusterTracer, np.ndarray]:
+    """Host-side build: morton sort + clustering. Returns (tracer, perm).
+
+    tri_opaque: optional (T,) bool — triangle has no alpha-capable
+    material. Folded into a per-cluster flag for any-hit early exit."""
     tri_pos = np.asarray(tri_pos)
     valid = np.asarray(tri_instance) >= 0
     T = tri_pos.shape[0]
@@ -151,13 +171,19 @@ def build_cluster_tracer(tri_pos, tri_instance) -> Tuple[ClusterTracer,
     valid_perm[:n_valid] = True
 
     pos = tri_pos[perm]                                 # (C*K, 3, 3)
+    if tri_opaque is not None:
+        op = np.asarray(tri_opaque, bool)[perm] | ~valid_perm
+    else:
+        op = np.ones(total, bool)
+    cluster_opaque = op.reshape(C, CLUSTER).all(axis=1).astype(np.int32)
     tracer = ClusterTracer(
         v0=jnp.asarray(pos[:, 0].reshape(C, CLUSTER, 3)),
         e1=jnp.asarray((pos[:, 1] - pos[:, 0]).reshape(C, CLUSTER, 3)),
         e2=jnp.asarray((pos[:, 2] - pos[:, 0]).reshape(C, CLUSTER, 3)),
         tri_valid=jnp.asarray(valid_perm.reshape(C, CLUSTER)),
         to_orig=jnp.asarray(perm),
-        cmin=None, cmax=None, n_clusters=C)
+        cmin=None, cmax=None, n_clusters=C,
+        opaque=jnp.asarray(cluster_opaque))
     tracer = refit_cluster_tracer(tracer, tri_pos, perm)
     if _use_pallas():
         tracer = tracer.with_pallas_layout()
@@ -191,7 +217,7 @@ def refit_cluster_tracer(tracer: ClusterTracer, tri_pos, perm
     cmin = jnp.where(valid, corners, big).min(axis=(1, 2))
     cmax = jnp.where(valid, corners, -big).max(axis=(1, 2))
     out = ClusterTracer(v0, e1, e2, tracer.tri_valid, tracer.to_orig,
-                        cmin, cmax, C)
+                        cmin, cmax, C, opaque=tracer.opaque)
     if tracer.tris9 is not None:
         out = out.with_pallas_layout()
     return out
@@ -237,6 +263,21 @@ def _slab_hit_soa(ox, oy, oz, ix, iy, iz, t_min, t_max, bmin, bmax):
     return (res_tf >= jnp.maximum(res_tn, t_min)) & (res_tn <= t_max)
 
 
+def _slab_t_soa(ox, oy, oz, ix, iy, iz, bmin, bmax):
+    """Slab test returning (t_near, t_far), each (G, C, TILE); same SoA
+    layout rationale as _slab_hit_soa."""
+    res_tn = None
+    res_tf = None
+    for oc, ic, k in ((ox, ix, 0), (oy, iy, 1), (oz, iz, 2)):
+        t0 = (bmin[None, :, k, None] - oc) * ic
+        t1 = (bmax[None, :, k, None] - oc) * ic
+        tn = jnp.minimum(t0, t1)
+        tf = jnp.maximum(t0, t1)
+        res_tn = tn if res_tn is None else jnp.maximum(res_tn, tn)
+        res_tf = tf if res_tf is None else jnp.minimum(res_tf, tf)
+    return res_tn, res_tf
+
+
 def _mt_block(o, d, t_min, t_max, v0, e1, e2):
     """Möller–Trumbore, SoA-component form.
 
@@ -280,8 +321,9 @@ def _mt_block(o, d, t_min, t_max, v0, e1, e2):
 KB = int(_os.environ.get("TAURAY_KB", "4"))  # clusters/iteration
 
 
-@jax.jit
-def _trace_padded(tracer: ClusterTracer, o, d, t_min, t_max) -> Hit:
+@partial(jax.jit, static_argnames=("any_hit",))
+def _trace_padded(tracer: ClusterTracer, o, d, t_min, t_max,
+                  any_hit: bool = False) -> Hit:
     R = o.shape[0]
     C = tracer.n_clusters
     n_tiles = R // TILE
@@ -392,11 +434,12 @@ def _trace_padded(tracer: ClusterTracer, o, d, t_min, t_max) -> Hit:
 _PALLAS_INTERPRET = _os.environ.get("TAURAY_PALLAS_INTERPRET", "0") == "1"
 
 
-@jax.jit
-def _trace_padded_pallas(tracer: ClusterTracer, o, d, t_min, t_max) -> Hit:
-    """Phase 1 + tile sort in XLA, phase 2 in the Pallas kernel
-    (ops/pallas_trace.py)."""
-    from .pallas_trace import pallas_trace_tiles
+@partial(jax.jit, static_argnames=("any_hit",))
+def _trace_padded_pallas(tracer: ClusterTracer, o, d, t_min, t_max,
+                         any_hit: bool = False) -> Hit:
+    """Phase 1 (slab cull + front-to-back key sort) in XLA, phase 2 in
+    the Pallas kernel (ops/pallas_trace.py)."""
+    from .pallas_trace import KB as PKB, pallas_trace_tiles
     R = o.shape[0]
     C = tracer.n_clusters
     n_tiles = R // TILE
@@ -406,22 +449,45 @@ def _trace_padded_pallas(tracer: ClusterTracer, o, d, t_min, t_max) -> Hit:
     rtmax = t_max.reshape(n_tiles, TILE)
     inv_d = jnp.where(rd == 0, jnp.float32(3e38),
                       1.0 / jnp.where(rd == 0, 1.0, rd))
-    hit_c = _slab_hit_soa(
+    tn, tf = _slab_t_soa(
         ro[:, None, :, 0], ro[:, None, :, 1], ro[:, None, :, 2],
         inv_d[:, None, :, 0], inv_d[:, None, :, 1], inv_d[:, None, :, 2],
-        rtmin[:, None, :], rtmax[:, None, :],
-        tracer.cmin, tracer.cmax)
-    active = jnp.any(hit_c, axis=2)
-    counts = active.sum(axis=1).astype(jnp.int32)
-    # compaction of the active list happens inside the pallas kernel
-    order = active
+        tracer.cmin, tracer.cmax)                      # (n_tiles, C, TILE)
+    tn = jnp.maximum(tn, rtmin[:, None, :])
+    active_rc = (tf >= tn) & (tn <= rtmax[:, None, :])
+    inf = jnp.float32(jnp.inf)
+    # per-(tile, cluster) minimum entry distance over the tile's rays
+    tile_tnear = jnp.min(jnp.where(active_rc, tn, inf), axis=2)
+    counts = jnp.sum(tile_tnear < inf, axis=1).astype(jnp.int32)
+    # ONE i32 key per (tile, cluster): entry-t bits (a lower bound after
+    # truncating the id bits off the mantissa; t >= 0 so the bit pattern
+    # is order-preserving) | cluster id. A single jnp.sort row-sorts the
+    # active clusters front-to-back — no argsort/gather needed.
+    # 1024-multiple: flat HBM i32 arrays are (1024)-tiled, so the
+    # kernel's per-tile DMA slices must be 1024-aligned.
+    cpad = 1024 * (-(-(C + PKB) // 1024))
+    idbits = max(int(np.ceil(np.log2(max(C, 2)))), 1)
+    idmask = (1 << idbits) - 1
+    tn_bits = jax.lax.bitcast_convert_type(tile_tnear, jnp.int32)
+    cid = jnp.arange(C, dtype=jnp.int32)[None, :]
+    key = (tn_bits & ~idmask) | cid
+    key = jnp.where(jnp.isfinite(tile_tnear), key, jnp.int32(0x7FFFFFFF))
+    key = jnp.pad(key, ((0, 0), (0, cpad - C)),
+                  constant_values=0x7FFFFFFF)
+    keys = jnp.sort(key, axis=1)
 
-    rays = tuple(x.reshape(-1, 1) for x in (
-        ro[..., 0], ro[..., 1], ro[..., 2],
-        rd[..., 0], rd[..., 1], rd[..., 2], rtmin, rtmax))
+    if any_hit and tracer.opaque is not None:
+        opad = 1024 * (-(-C // 1024))
+        opaque = jnp.pad(tracer.opaque.astype(jnp.int32), (0, opad - C))
+    else:
+        opaque = jnp.ones(1024, jnp.int32)
+
+    rays_packed = jnp.concatenate([
+        ro, rd, rtmin[..., None], rtmax[..., None]],
+        axis=-1)                                       # (n_tiles, TILE, 8)
     t, tid = pallas_trace_tiles(
-        counts, order, rays, tracer.tris9, tracer.tvalid_f, C,
-        interpret=_PALLAS_INTERPRET)
+        counts, keys, rays_packed, tracer.tris9, opaque, C, cpad, idmask,
+        any_hit=any_hit, interpret=_PALLAS_INTERPRET)
     # barycentrics post-pass: recompute u,v for the single best triangle
     miss = tid < 0
     safe = jnp.maximum(tid, 0)

@@ -1,21 +1,37 @@
 """Pallas TPU traversal kernel for the cluster tracer.
 
-The XLA version of phase 2 (ops/cluster.py) is iteration-overhead-bound.
-This kernel keeps the whole per-tile traversal on-chip:
+Phase 2 of the cluster tracer (ops/cluster.py) as one on-chip kernel:
 
-  * grid = one program per ray tile (TILE rays);
-  * phase 1 (dense slab culling + per-tile compacted cluster lists) stays
-    in XLA inside the same jitted program — it fuses with ray prep;
-  * the loop bound is each tile's OWN count (scalar-prefetched) — no
-    lockstep-max waste;
-  * each iteration DMAs KB clusters' triangle blocks (9 x KB*CLUSTER
-    floats, double-buffered) and evaluates a dense (TILE x KB*CLUSTER)
-    Möller–Trumbore block on the VPU — triangles in vector lanes, rays in
-    sublanes; only (t, id) are tracked in the loop, barycentrics are
-    recomputed for the single best triangle in a cheap XLA post-pass.
+  * grid = one program per GROUP of G ray tiles (TILE rays each); packing
+    G tiles per grid step amortizes the pallas pipeline's fixed per-step
+    cost (~6 us for tiny blocks) across 8 tiles;
+  * phase 1 (dense slab culling) runs in XLA inside the same jitted
+    program and produces, per tile, ONE sorted i32 key row: each key is
+    (slab-entry-t bits & ~idmask) | cluster_id — a single `jnp.sort`
+    gives the active-cluster list in FRONT-TO-BACK order and the entry
+    distances at once (truncating the mantissa keeps the key a lower
+    bound of the true entry t, so the early exit below stays safe);
+  * the kernel walks the list with a `while_loop`: each step DMAs KB
+    clusters' triangle blocks (9 x KB*CLUSTER floats, double-buffered)
+    and evaluates a dense (TILE x KB*CLUSTER) Möller–Trumbore block on
+    the VPU — triangles in vector lanes, rays in sublanes;
+  * EARLY EXIT: because the list is sorted by entry distance, the tile
+    stops as soon as every ray's current best t (or its t_max) is <= the
+    next cluster's entry-distance lower bound — no remaining cluster can
+    produce a closer hit (reference analogue: hardware BVH traversal's
+    ordered descent, src/acceleration_structure.hh); comparisons happen
+    on raw IEEE-754 bits (order-preserving for the non-negative t values
+    here) because Mosaic has no scalar bitcast;
+  * any-hit (shadow) mode additionally stops once every ray has an
+    OPAQUE hit (per-cluster opacity flag, a global SMEM table DMA'd once
+    at grid step 0; scratch persists across the sequential grid).
+    Alpha-capable hits still resolve closest-first so the alpha re-trace
+    rounds in ops/trace_utils.py stay correct;
+  * per-tile metadata is double-buffered ACROSS grid steps: group b
+    prefetches group b+1's key rows during its own traversal.
 
-Planned follow-up: Plücker-form tests as (TILE, 6) @ (6, 3*CLUSTER)
-matmuls on the MXU.
+Only (t, id) are tracked in the loop; barycentrics are recomputed for
+the single best triangle in a cheap XLA post-pass.
 """
 
 from __future__ import annotations
@@ -30,104 +46,110 @@ from jax.experimental.pallas import tpu as pltpu
 
 TILE = 128
 CLUSTER = 128
-KB = 4                    # clusters per loop iteration
+KB = 8                    # clusters per loop iteration
 BK = KB * CLUSTER
+G = 8                     # ray tiles per grid step
 BIG = 3.0e38
 
 
-def _kernel(counts_ref,                       # scalar prefetch (n_tiles,)
-            bits_ref,                         # (n_tiles, W) i32 HBM bitmask
-            ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
-            tmin_ref, tmax_ref,               # rays (TILE, 1) VMEM
-            tris_ref,                         # (C, 9, 1, CLUSTER) HBM
-            t_out, id_out,                    # (TILE, 1) VMEM outputs
-            tri_scr, bits_scr, order_scr, order_sem, sem):
-    t = pl.program_id(0)
-    count = counts_ref[t]
-    steps = (count + KB - 1) // KB
-    n_words = (tris_ref.shape[0] + 31) // 32
-    # activity bitmask for this tile -> SMEM, then compact the active
-    # cluster list with a scalar loop (replaces an expensive XLA argsort)
-    bits_dma = pltpu.make_async_copy(bits_ref.at[t], bits_scr, order_sem)
-    bits_dma.start()
-    bits_dma.wait()
+def _kernel(counts_ref,             # scalar prefetch (n_tiles,)
+            meta_ref,               # (n_tiles*cpad,) i32 HBM sorted keys
+            rays_ref,               # (G, TILE, 8) VMEM block
+            tris_ref,               # (C, 9, 1, CLUSTER) HBM
+            opq_ref,                # (opad,) i32 HBM global cluster opacity
+            out_ref,                # (G, TILE, 2) VMEM block [t, id bits]
+            tri_scr, meta_scr, opq_scr, meta_sem, opq_sem, sem,
+            *, n_clusters: int, cpad: int, idmask: int, any_hit: bool):
+    b = pl.program_id(0)
+    nb = pl.num_programs(0)
+    grow = G * cpad
 
-    def compact(w, cnt):
-        word = bits_scr[w]
+    def meta_dma(slot, blk):
+        return pltpu.make_async_copy(
+            meta_ref.at[pl.ds(blk * grow, grow)],
+            meta_scr.at[pl.ds(slot * grow, grow)], meta_sem.at[slot])
 
-        def inner_bit(b, cnt):
-            c = w * 32 + b
-            bit = (word >> b) & 1
+    # the global opacity table is fetched once; SMEM scratch persists
+    # across the sequential grid
+    if any_hit:
+        @pl.when(b == 0)
+        def _():
+            pltpu.make_async_copy(opq_ref, opq_scr, opq_sem).start()
 
-            @pl.when(bit == 1)
-            def _():
-                order_scr[cnt // order_scr.shape[1],
-                          cnt % order_scr.shape[1]] = c
-            return cnt + bit
-
-        return jax.lax.fori_loop(0, 32, inner_bit, cnt)
-
-    cnt = jax.lax.fori_loop(0, n_words, compact, jnp.int32(0))
-    # KB pad entries so the last iteration's DMA indices are in range
-    # (their results are masked off by slot_ok)
-    for j in range(KB):
-        order_scr[(cnt + j) // order_scr.shape[1],
-                  (cnt + j) % order_scr.shape[1]] = 0
-
-    ox = ox_ref[:]          # (TILE, 1)
-    oy = oy_ref[:]
-    oz = oz_ref[:]
-    dx = dx_ref[:]
-    dy = dy_ref[:]
-    dz = dz_ref[:]
-    tmin = tmin_ref[:]
-    tmax = tmax_ref[:]
-
-    t_out[:] = jnp.minimum(tmax, BIG)
-    id_out[:] = jnp.full((TILE, 1), -1, jnp.int32)
-
-    inner = order_scr.shape[1]
-
-    def get_dmas(slot, step):
-        dmas = []
-        for j in range(KB):
-            k = step * KB + j
-            cid = order_scr[k // inner, k % inner]
-            dmas.append(pltpu.make_async_copy(
-                tris_ref.at[cid],
-                tri_scr.at[slot, :, :, pl.ds(j * CLUSTER, CLUSTER)],
-                sem.at[slot, j]))
-        return dmas
-
-    @pl.when(steps > 0)
+    # pipeline the key rows across grid steps
+    @pl.when(b == 0)
     def _():
-        for dma in get_dmas(0, 0):
-            dma.start()
+        meta_dma(0, b).start()
+    slot = jax.lax.rem(b, 2)
 
-        def body(step, _):
-            slot = jax.lax.rem(step, 2)
-            nxt = jax.lax.rem(step + 1, 2)
+    @pl.when(b + 1 < nb)
+    def _():
+        meta_dma(jax.lax.rem(b + 1, 2), b + 1).start()
+    meta_dma(slot, b).wait()
+    if any_hit:
+        @pl.when(b == 0)
+        def _():
+            pltpu.make_async_copy(opq_ref, opq_scr, opq_sem).wait()
 
+    def process_tile(g, _):
+        base = slot * grow + g * cpad
+        count = counts_ref[b * G + g]
+        steps = (count + KB - 1) // KB
+
+        def key_at(k):
+            return meta_scr[base + jnp.minimum(k, cpad - 1)]
+
+        def order_at(k):
+            return jnp.minimum(key_at(k) & idmask, n_clusters - 1)
+
+        ox = rays_ref[g, :, 0:1]
+        oy = rays_ref[g, :, 1:2]
+        oz = rays_ref[g, :, 2:3]
+        dx = rays_ref[g, :, 3:4]
+        dy = rays_ref[g, :, 4:5]
+        dz = rays_ref[g, :, 5:6]
+        tmin = rays_ref[g, :, 6:7]
+        tmax = rays_ref[g, :, 7:8]
+
+        def get_dmas(buf, step):
+            return [pltpu.make_async_copy(
+                tris_ref.at[order_at(step * KB + j)],
+                tri_scr.at[buf, :, :, pl.ds(j * CLUSTER, CLUSTER)],
+                sem.at[buf, j]) for j in range(KB)]
+
+        init_t = jnp.minimum(tmax, BIG)
+        init_id = jnp.full((TILE, 1), -1, jnp.int32)
+        init_opq = jnp.zeros((TILE, 1), jnp.int32)
+
+        def cond(c):
+            step, done = c[0], c[1]
+            return (step < steps) & ~done
+
+        def body(c):
+            step, _, best_t, best_id, best_opq = c
+            buf = jax.lax.rem(step, 2)
+
+            # prefetch before compute so the DMA overlaps the MT block;
+            # an over-prefetched batch is drained after the loop
             @pl.when(step + 1 < steps)
             def _():
-                for dma in get_dmas(nxt, step + 1):
+                for dma in get_dmas(jax.lax.rem(step + 1, 2), step + 1):
                     dma.start()
-
-            for dma in get_dmas(slot, step):
+            for dma in get_dmas(buf, step):
                 dma.wait()
 
             # triangle components along lanes: (1, BK)
-            v0x = tri_scr[slot, 0]
-            v0y = tri_scr[slot, 1]
-            v0z = tri_scr[slot, 2]
-            e1x = tri_scr[slot, 3]
-            e1y = tri_scr[slot, 4]
-            e1z = tri_scr[slot, 5]
-            e2x = tri_scr[slot, 6]
-            e2y = tri_scr[slot, 7]
-            e2z = tri_scr[slot, 8]
+            v0x = tri_scr[buf, 0]
+            v0y = tri_scr[buf, 1]
+            v0z = tri_scr[buf, 2]
+            e1x = tri_scr[buf, 3]
+            e1y = tri_scr[buf, 4]
+            e1z = tri_scr[buf, 5]
+            e2x = tri_scr[buf, 6]
+            e2y = tri_scr[buf, 7]
+            e2z = tri_scr[buf, 8]
 
-            # h = cross(d, e2): (TILE, BK)
+            # Möller–Trumbore, h = cross(d, e2): (TILE, BK)
             hx = dy * e2z - dz * e2y
             hy = dz * e2x - dx * e2z
             hz = dx * e2y - dy * e2x
@@ -142,7 +164,6 @@ def _kernel(counts_ref,                       # scalar prefetch (n_tiles,)
             qz = sx * e1y - sy * e1x
             vv = f * (dx * qx + dy * qy + dz * qz)
             tt = f * (e2x * qx + e2y * qy + e2z * qz)
-            best_t = t_out[:]                       # (TILE, 1)
             # slot-validity: block j is real only when step*KB+j < count
             lane_block = jax.lax.broadcasted_iota(
                 jnp.int32, (TILE, BK), 1) // CLUSTER
@@ -153,70 +174,95 @@ def _kernel(counts_ref,                       # scalar prefetch (n_tiles,)
             cand_t = jnp.min(tt, axis=1, keepdims=True)    # (TILE, 1)
             arg = jnp.argmin(tt, axis=1)[:, None]          # (TILE, 1)
             closer = cand_t < best_t
-            # global id: cluster id of the winning block * CLUSTER + local
-            kwin = step * KB + arg // CLUSTER
-            # gather winning cluster ids via select over the KB candidates
+            # global id: winning block's cluster id * CLUSTER + local
             cid_win = jnp.zeros((TILE, 1), jnp.int32)
             for j in range(KB):
-                k = step * KB + j
-                cid_j = order_scr[k // inner, k % inner]
-                cid_win = jnp.where(arg // CLUSTER == j, cid_j, cid_win)
-            t_out[:] = jnp.where(closer, cand_t, best_t)
-            id_out[:] = jnp.where(closer,
-                                  cid_win * CLUSTER + arg % CLUSTER,
-                                  id_out[:])
-            return 0
+                cid_win = jnp.where(arg // CLUSTER == j,
+                                    order_at(step * KB + j), cid_win)
+            if any_hit:
+                opq_win = jnp.zeros((TILE, 1), jnp.int32)
+                for j in range(KB):
+                    opq_win = jnp.where(arg // CLUSTER == j,
+                                        opq_scr[order_at(step * KB + j)],
+                                        opq_win)
+                best_opq = jnp.where(closer, opq_win, best_opq)
+            best_t = jnp.where(closer, cand_t, best_t)
+            best_id = jnp.where(closer, cid_win * CLUSTER + arg % CLUSTER,
+                                best_id)
 
-        jax.lax.fori_loop(0, steps, body, 0)
+            # early exit on the front-to-back order (bit-space compare)
+            next_tn_bits = key_at((step + 1) * KB) & ~idmask
+            t_bits = jax.lax.bitcast_convert_type(best_t, jnp.int32)
+            ray_done = t_bits <= next_tn_bits
+            if any_hit:
+                ray_done = ray_done | ((best_id >= 0) & (best_opq > 0))
+            done = jnp.all(ray_done)
+            return (step + 1, done, best_t, best_id, best_opq)
+
+        @pl.when(steps > 0)
+        def _():
+            for dma in get_dmas(0, 0):
+                dma.start()
+
+        fs, fd, bt, bi, _ = jax.lax.while_loop(
+            cond, body,
+            (jnp.int32(0), steps <= 0, init_t, init_id, init_opq))
+
+        # drain the over-prefetched batch on early exit so no DMA
+        # semaphore leaks into later tiles
+        @pl.when(fd & (fs < steps) & (steps > 0))
+        def _():
+            for dma in get_dmas(jax.lax.rem(fs, 2), fs):
+                dma.wait()
+
+        out_ref[g, :, 0:1] = bt
+        out_ref[g, :, 1:2] = jax.lax.bitcast_convert_type(bi, jnp.float32)
+        return 0
+
+    jax.lax.fori_loop(0, G, process_tile, 0)
 
 
-@partial(jax.jit, static_argnames=("n_clusters", "interpret"))
-def pallas_trace_tiles(counts, order, rays, tris9, tvalid_f32,
-                       n_clusters: int, interpret: bool = False):
-    """counts: (n_tiles,) i32; order: (n_tiles, C) bool ACTIVITY mask
-    (compacted into a cluster list inside the kernel);
-    rays: tuple of 8 (n_tiles*TILE, 1) f32 (ox,oy,oz,dx,dy,dz,tmin,tmax);
-    tris9: (C, 9, 1, CLUSTER) f32 (v0/e1/e2 xyz components in lanes).
-    tvalid_f32 is unused here (invalid padding triangles are degenerate,
-    det == 0, and never hit).
+@partial(jax.jit,
+         static_argnames=("n_clusters", "cpad", "idmask", "any_hit",
+                          "interpret"))
+def pallas_trace_tiles(counts, keys, rays_packed, tris9, opaque,
+                       n_clusters: int, cpad: int, idmask: int,
+                       any_hit: bool = False, interpret: bool = False):
+    """counts: (n_tiles,) i32 active-cluster counts; keys:
+    (n_tiles, cpad) i32 sorted phase-1 keys ((tnear bits & ~idmask) | id);
+    rays_packed: (n_tiles, TILE, 8) f32 [ox,oy,oz,dx,dy,dz,tmin,tmax];
+    tris9: (C, 9, 1, CLUSTER) f32 (v0/e1/e2 components in lanes);
+    opaque: (opad,) i32 per-cluster opacity, opad a multiple of 1024.
     Returns (t (f32, inf=miss), tri_id (i32, -1=miss)), (n_tiles*TILE,)."""
     n_tiles = counts.shape[0]
-    C = n_clusters
-    # pack the activity mask into 32-bit words (vector ops, no sort);
-    # word dim padded to 128 so the HBM->SMEM DMA slice is lane-aligned
-    n_words = -(-C // 32)
-    w_pad = 128 * -(-n_words // 128)
-    active = jnp.pad(order.astype(jnp.int32),
-                     ((0, 0), (0, w_pad * 32 - C)))
-    weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))
-    bits = jnp.sum(active.reshape(n_tiles, w_pad, 32).astype(jnp.uint32) *
-                   weights[None, None, :], axis=2).astype(jnp.int32)
-    c_pad = -(-(C + KB) // 1024) * 1024
-    inner = c_pad // 8
+    assert n_tiles % G == 0
+    keys = keys.reshape(-1)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(n_tiles,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] +
-                 [pl.BlockSpec((TILE, 1), lambda t, *_: (t, 0),
-                               memory_space=pltpu.VMEM)] * 8 +
-                 [pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=[pl.BlockSpec((TILE, 1), lambda t, *_: (t, 0),
-                                memory_space=pltpu.VMEM)] * 2,
+        grid=(n_tiles // G,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+                  pl.BlockSpec((G, TILE, 8), lambda b, *_: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+                  pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)],
+        out_specs=pl.BlockSpec((G, TILE, 2), lambda b, *_: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((2, 9, 1, BK), jnp.float32),
-            pltpu.SMEM((w_pad,), jnp.int32),
-            pltpu.SMEM((8, inner), jnp.int32),
+            pltpu.SMEM((2 * G * cpad,), jnp.int32),
+            pltpu.SMEM((opaque.shape[0],), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA((2, KB)),
         ])
-    out_shapes = [
-        jax.ShapeDtypeStruct((n_tiles * TILE, 1), jnp.float32),
-        jax.ShapeDtypeStruct((n_tiles * TILE, 1), jnp.int32)]
-    t, tid = pl.pallas_call(
-        _kernel, out_shape=out_shapes, grid_spec=grid_spec,
+    out_shape = jax.ShapeDtypeStruct((n_tiles, TILE, 2), jnp.float32)
+    out = pl.pallas_call(
+        partial(_kernel, n_clusters=n_clusters, cpad=cpad, idmask=idmask,
+                any_hit=any_hit),
+        out_shape=out_shape, grid_spec=grid_spec,
         interpret=interpret,
-    )(counts, bits, *rays, tris9)
-    t = t[:, 0]
-    tid = tid[:, 0]
+    )(counts, keys, rays_packed, tris9, opaque)
+    t = out[:, :, 0].reshape(-1)
+    tid = jax.lax.bitcast_convert_type(out[:, :, 1], jnp.int32).reshape(-1)
     t = jnp.where(tid < 0, jnp.inf, t)
     return t, tid

@@ -5,7 +5,8 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..ops.cluster import build_cluster_tracer, refit_cluster_tracer
+from ..ops.cluster import (build_cluster_tracer, refit_cluster_tracer,
+                           tri_opacity)
 from ..scene.device import to_camera_uniforms, to_device_scene
 from ..stages.feature import render_feature
 from ..stages.tonemap import tonemap
@@ -22,7 +23,9 @@ class FeatureRenderer(Renderer):
         self.device_scene = to_device_scene(
             self.arrays, self.opt.transparent_background)
         self.bvh, self._perm = build_cluster_tracer(
-            self.arrays.tri_pos, self.arrays.tri_instance)
+            self.arrays.tri_pos, self.arrays.tri_instance,
+            tri_opaque=tri_opacity(self.arrays.tri_instance,
+                                   self.arrays.inst_has_alpha))
         self._prev_cam = None
 
     def update_frame(self):

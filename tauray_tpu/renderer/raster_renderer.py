@@ -9,7 +9,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.cluster import build_cluster_tracer, refit_cluster_tracer
+from ..ops.cluster import (build_cluster_tracer, refit_cluster_tracer,
+                           tri_opacity)
 from ..scene.device import to_camera_uniforms, to_device_scene
 from ..stages.raster import render_raster
 from ..stages.shadow_map import build_shadow_maps
@@ -28,7 +29,9 @@ class RasterRenderer(Renderer):
         self.device_scene = to_device_scene(
             self.arrays, self.opt.transparent_background)
         self.bvh, self._perm = build_cluster_tracer(
-            self.arrays.tri_pos, self.arrays.tri_instance)
+            self.arrays.tri_pos, self.arrays.tri_instance,
+            tri_opaque=tri_opacity(self.arrays.tri_instance,
+                                   self.arrays.inst_has_alpha))
         self._prev_cam = None
         opt = self.opt
         self.post = PostProcessingPipeline(opt, opt.width, opt.height,

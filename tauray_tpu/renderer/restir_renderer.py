@@ -10,7 +10,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.cluster import build_cluster_tracer, refit_cluster_tracer
+from ..ops.cluster import (build_cluster_tracer, refit_cluster_tracer,
+                           tri_opacity)
 from ..ops.lights import NEEWeights
 from ..ops.shading import (get_camera_projection, get_screen_camera_ray,
                            interpolate_vertex, sample_material)
@@ -64,7 +65,9 @@ class ReSTIRRenderer(Renderer):
         self.device_scene = to_device_scene(self.arrays,
                                             opt.transparent_background)
         self.bvh, self._perm = build_cluster_tracer(
-            self.arrays.tri_pos, self.arrays.tri_instance)
+            self.arrays.tri_pos, self.arrays.tri_instance,
+            tri_opaque=tri_opacity(self.arrays.tri_instance,
+                                   self.arrays.inst_has_alpha))
         self._prev_cam = None
         self.frame_idx = 0
         nee = NEEWeights.from_options(opt, self.arrays)

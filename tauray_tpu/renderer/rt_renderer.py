@@ -15,7 +15,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..log import TR_WARN
-from ..ops.cluster import build_cluster_tracer, refit_cluster_tracer
+from ..ops.cluster import (build_cluster_tracer, refit_cluster_tracer,
+                           tri_opacity)
 from ..ops.lights import NEEWeights
 from ..scene.device import to_camera_uniforms, to_device_scene
 from ..stages.path_tracer import PTConfig, accumulate, pt_trace_pass
@@ -43,7 +44,9 @@ class PathTracerRenderer(Renderer):
         self.device_scene = to_device_scene(
             self.arrays, self.opt.transparent_background)
         self.bvh, self._perm = build_cluster_tracer(
-            self.arrays.tri_pos, self.arrays.tri_instance)
+            self.arrays.tri_pos, self.arrays.tri_instance,
+            tri_opaque=tri_opacity(self.arrays.tri_instance,
+                                   self.arrays.inst_has_alpha))
         self._prev_cam = None
         self.accum_color = None
         self.samples_accumulated = 0

@@ -608,6 +608,7 @@ def host_trace_alpha(scene, tracer, o, d, t_min, t_max, alpha_u,
 def _run_bounce(cfg: PTConfig, scene: DeviceScene, tracer, state, b_idx,
                 is_first: bool, max_bounces: int, coord=None):
     (seed, alpha_seed, pos, view) = state[0], state[1], state[2], state[3]
+    alive = state[11]
     sobol_bounce = -1 if cfg.sampler == "uniform-random" else int(b_idx)
     R = pos.shape[0]
     if cfg.has_alpha_materials:
@@ -615,12 +616,14 @@ def _run_bounce(cfg: PTConfig, scene: DeviceScene, tracer, state, b_idx,
     else:
         alpha_u = 0.0
     t_min = 0.0 if is_first else cfg.min_ray_dist
-    hit = host_trace_alpha(scene, tracer, pos, view, t_min, RAY_MAX_DIST,
+    t_max = jnp.where(alive, RAY_MAX_DIST, 0.0)
+    hit = host_trace_alpha(scene, tracer, pos, view, t_min, t_max,
                            alpha_u, cfg.has_alpha_materials)
-    if cfg.nee.any:
+    if cfg.nee.any and int(b_idx) < max_bounces - 1:
         slot = -1 if sobol_bounce < 0 else sobol_bounce * 2
         sh_o, sh_d, sh_len, nee_alpha_u = _nee_prep(
             cfg, scene, seed, alpha_seed, hit, pos, view, coord, slot)
+        sh_len = jnp.where(alive & (hit.tri_id >= 0), sh_len, 0.0)
         sh = host_trace_alpha(scene, tracer, sh_o, sh_d, cfg.min_ray_dist,
                               sh_len, nee_alpha_u, cfg.has_alpha_materials,
                               any_hit=True)
@@ -685,21 +688,28 @@ def evaluate_ray_inline(cfg: PTConfig, scene: DeviceScene, bvh,
     for b_idx in range(max_bounces):
         is_first = b_idx == 0
         seed, alpha_seed, cur_pos, cur_view = state[:4]
+        alive = state[11]
         if cfg.has_alpha_materials:
             alpha_u = _advance_alpha(alpha_seed)
         else:
             alpha_u = jnp.zeros(R, jnp.float32)
         t_min = 0.0 if is_first else cfg.min_ray_dist
+        # dead lanes keep stale ray state; zero t_max resolves them in one
+        # kernel step instead of re-tracing the same ray every bounce
+        t_max = jnp.where(alive, RAY_MAX_DIST, 0.0)
         hit = trace_alpha(scene, bvh, cur_pos, cur_view,
                           jnp.full(R, t_min, jnp.float32),
-                          jnp.full(R, RAY_MAX_DIST), alpha_u,
-                          cfg.has_alpha_materials)
-        if cfg.nee.any:
+                          t_max, alpha_u, cfg.has_alpha_materials)
+        # NEE is statically inactive at the final path vertex
+        # (terminal => active_nee false in _shade_bounce), so the last
+        # bounce's shadow wave is skipped entirely
+        if cfg.nee.any and b_idx < max_bounces - 1:
             sobol_b = -1 if cfg.sampler == "uniform-random" else b_idx
             slot = -1 if sobol_b < 0 else sobol_b * 2
             sh_o, sh_d, sh_len, nee_alpha_u = _nee_prep(
                 cfg, scene, seed, alpha_seed, hit, cur_pos, cur_view,
                 coord, slot)
+            sh_len = jnp.where(alive & (hit.tri_id >= 0), sh_len, 0.0)
             sh = trace_alpha(scene, bvh, sh_o, sh_d,
                              jnp.full(R, cfg.min_ray_dist, jnp.float32),
                              sh_len, nee_alpha_u, cfg.has_alpha_materials,
