@@ -51,7 +51,8 @@ TILE_CHUNK = int(_os.environ.get("TAURAY_TILE_CHUNK", "64"))
 @jax.tree_util.register_pytree_node_class
 class ClusterTracer:
     def __init__(self, v0, e1, e2, tri_valid, to_orig, cmin, cmax,
-                 n_clusters: int, tris9=None, tvalid_f=None, opaque=None):
+                 n_clusters: int, tris9=None, tvalid_f=None, opaque=None,
+                 tris_flat=None):
         # (C, CLUSTER, 3) triangle blocks in cluster-major layout
         self.v0 = v0
         self.e1 = e1
@@ -68,11 +69,13 @@ class ClusterTracer:
         # (no alpha-capable material) — lets any-hit shadow traversal
         # terminate on the first opaque hit
         self.opaque = opaque
+        # (C*CLUSTER, 9) [v0|e1|e2] rows for the barycentric post-pass
+        self.tris_flat = tris_flat
 
     def tree_flatten(self):
         return ((self.v0, self.e1, self.e2, self.tri_valid, self.to_orig,
                  self.cmin, self.cmax, self.tris9, self.tvalid_f,
-                 self.opaque),
+                 self.opaque, self.tris_flat),
                 (self.n_clusters,))
 
     @classmethod
@@ -87,9 +90,14 @@ class ClusterTracer:
             jnp.swapaxes(self.e2, 1, 2)], axis=1)      # (C, 9, CLUSTER)
         tris9 = comps[:, :, None, :]                   # (C, 9, 1, CLUSTER)
         tvalid_f = self.tri_valid.astype(jnp.float32)[:, None, :]
+        # (C*CLUSTER, 9) row table for the barycentric post-pass: one
+        # row gather per ray instead of three two-level gathers
+        tris_flat = jnp.concatenate(
+            [self.v0, self.e1, self.e2], axis=-1).reshape(-1, 9)
         return ClusterTracer(self.v0, self.e1, self.e2, self.tri_valid,
                              self.to_orig, self.cmin, self.cmax,
-                             self.n_clusters, tris9, tvalid_f, self.opaque)
+                             self.n_clusters, tris9, tvalid_f, self.opaque,
+                             tris_flat)
 
     # ------------------------------------------------------------------
     def trace(self, origins, dirs, t_min, t_max, any_hit: bool = False,
@@ -439,25 +447,35 @@ def _trace_padded_pallas(tracer: ClusterTracer, o, d, t_min, t_max,
                          any_hit: bool = False) -> Hit:
     """Phase 1 (slab cull + front-to-back key sort) in XLA, phase 2 in
     the Pallas kernel (ops/pallas_trace.py)."""
-    from .pallas_trace import KB as PKB, pallas_trace_tiles
+    from .pallas_trace import (KB as PKB, TILE as PT,
+                               pallas_trace_tiles)
     R = o.shape[0]
     C = tracer.n_clusters
-    n_tiles = R // TILE
-    ro = o.reshape(n_tiles, TILE, 3)
-    rd = d.reshape(n_tiles, TILE, 3)
-    rtmin = t_min.reshape(n_tiles, TILE)
-    rtmax = t_max.reshape(n_tiles, TILE)
+    # slab tests run on 128-ray blocks (full VPU lanes), then reduce to
+    # PT-ray kernel tiles (PT divides 128)
+    n_blocks = R // TILE
+    sub = TILE // PT
+    n_tiles = R // PT
+    ro = o.reshape(n_blocks, TILE, 3)
+    rd = d.reshape(n_blocks, TILE, 3)
+    rtmin = t_min.reshape(n_blocks, TILE)
+    rtmax = t_max.reshape(n_blocks, TILE)
     inv_d = jnp.where(rd == 0, jnp.float32(3e38),
                       1.0 / jnp.where(rd == 0, 1.0, rd))
     tn, tf = _slab_t_soa(
         ro[:, None, :, 0], ro[:, None, :, 1], ro[:, None, :, 2],
         inv_d[:, None, :, 0], inv_d[:, None, :, 1], inv_d[:, None, :, 2],
-        tracer.cmin, tracer.cmax)                      # (n_tiles, C, TILE)
+        tracer.cmin, tracer.cmax)                     # (n_blocks, C, TILE)
     tn = jnp.maximum(tn, rtmin[:, None, :])
     active_rc = (tf >= tn) & (tn <= rtmax[:, None, :])
     inf = jnp.float32(jnp.inf)
-    # per-(tile, cluster) minimum entry distance over the tile's rays
-    tile_tnear = jnp.min(jnp.where(active_rc, tn, inf), axis=2)
+    # per-(kernel tile, cluster) minimum entry distance over the tile's
+    # rays: reduce each PT-lane sub-block, then flatten (block, sub) into
+    # the kernel tile axis
+    tile_tnear = jnp.min(
+        jnp.where(active_rc, tn, inf).reshape(n_blocks, C, sub, PT),
+        axis=3)                                       # (n_blocks, C, sub)
+    tile_tnear = jnp.transpose(tile_tnear, (0, 2, 1)).reshape(n_tiles, C)
     counts = jnp.sum(tile_tnear < inf, axis=1).astype(jnp.int32)
     # ONE i32 key per (tile, cluster): entry-t bits (a lower bound after
     # truncating the id bits off the mantissa; t >= 0 so the bit pattern
@@ -482,20 +500,22 @@ def _trace_padded_pallas(tracer: ClusterTracer, o, d, t_min, t_max,
     else:
         opaque = jnp.ones(1024, jnp.int32)
 
-    rays_packed = jnp.concatenate([
-        ro, rd, rtmin[..., None], rtmax[..., None]],
-        axis=-1)                                       # (n_tiles, TILE, 8)
+    # o/d pass through as free reshapes; only the two (R,) min/max
+    # vectors pay a (cheap) interleave
+    o3 = o.reshape(n_tiles, PT, 3)
+    d3 = d.reshape(n_tiles, PT, 3)
+    mm2 = jnp.stack([t_min, t_max], axis=-1).reshape(n_tiles, PT, 2)
     t, tid = pallas_trace_tiles(
-        counts, keys, rays_packed, tracer.tris9, opaque, C, cpad, idmask,
+        counts, keys, o3, d3, mm2, tracer.tris9, opaque, C, cpad, idmask,
         any_hit=any_hit, interpret=_PALLAS_INTERPRET)
     # barycentrics post-pass: recompute u,v for the single best triangle
+    # (one row gather from the packed [v0|e1|e2] table)
     miss = tid < 0
     safe = jnp.maximum(tid, 0)
-    cidx = safe // CLUSTER
-    lidx = safe % CLUSTER
-    v0 = tracer.v0[cidx, lidx]
-    e1 = tracer.e1[cidx, lidx]
-    e2 = tracer.e2[cidx, lidx]
+    row = tracer.tris_flat[safe]
+    v0 = row[:, 0:3]
+    e1 = row[:, 3:6]
+    e2 = row[:, 6:9]
     h = jnp.cross(d, e2)
     a = jnp.sum(e1 * h, axis=-1)
     f = jnp.where(a != 0, 1.0 / jnp.where(a == 0, 1.0, a), 0.0)

@@ -13,6 +13,7 @@ from __future__ import annotations
 import math
 from typing import NamedTuple, Tuple
 
+import jax
 import jax.numpy as jnp
 
 from ..scene.device import DeviceScene
@@ -66,9 +67,13 @@ def get_spotlight_intensity(dir_cutoff, dir_falloff, light_dir, dir):
 
 def sample_point_light(scene: DeviceScene, li, u, pos):
     """(reference: shader/light.glsl sample_point_light).
-    Returns (out_dir, out_length, color, pdf)."""
-    lpos = scene.pl_pos[li]
-    radius = scene.pl_radius[li]
+    Returns (out_dir, out_length, color, pdf). One pl_packed row
+    gather."""
+    from ..scene.device import (PL_COLOR, PL_DIR, PL_DIRCUT, PL_FALLOFF,
+                                PL_POS, PL_RADIUS)
+    row = scene.pl_packed[li]
+    lpos = row[..., PL_POS:PL_POS + 3]
+    radius = row[..., PL_RADIUS]
     dir = pos - lpos
     dist2 = jnp.sum(dir * dir, -1)
     k = 1.0 - radius * radius / jnp.maximum(dist2, 1e-20)
@@ -77,10 +82,11 @@ def sample_point_light(scene: DeviceScene, li, u, pos):
     b = jnp.sum(dir * out_dir, -1)
     out_length = -b - jnp.sqrt(jnp.maximum(
         b * b - dist2 + radius * radius, 0.0))
-    spot = get_spotlight_intensity(scene.pl_dir_cutoff[li],
-                                   scene.pl_dir_falloff[li],
-                                   scene.pl_dir[li], normalize(-dir))
-    color = spot[..., None] * scene.pl_color[li]
+    spot = get_spotlight_intensity(row[..., PL_DIRCUT],
+                                   row[..., PL_FALLOFF],
+                                   row[..., PL_DIR:PL_DIR + 3],
+                                   normalize(-dir))
+    color = spot[..., None] * row[..., PL_COLOR:PL_COLOR + 3]
     area_color = color / jnp.maximum(radius * radius * M_PI, 1e-20)[..., None]
     pdf_cone = 1.0 / (2.0 * M_PI * jnp.maximum(1.0 - dir_cutoff, 1e-12))
     delta = radius == 0.0
@@ -90,8 +96,10 @@ def sample_point_light(scene: DeviceScene, li, u, pos):
 
 
 def sample_point_light_pdf(scene: DeviceScene, li, pos):
-    lpos = scene.pl_pos[li]
-    radius = scene.pl_radius[li]
+    from ..scene.device import PL_POS, PL_RADIUS
+    row = scene.pl_packed[li]
+    lpos = row[..., PL_POS:PL_POS + 3]
+    radius = row[..., PL_RADIUS]
     dir = pos - lpos
     dist2 = jnp.sum(dir * dir, -1)
     k = 1.0 - radius * radius / jnp.maximum(dist2, 1e-20)
@@ -103,29 +111,35 @@ def sample_point_light_pdf(scene: DeviceScene, li, pos):
 def point_light_radiance(scene: DeviceScene, li, view):
     """Radiance when a ray hits the light sphere (reference:
     shader/path_tracer.glsl get_intersection_info point-light branch)."""
-    spot = get_spotlight_intensity(scene.pl_dir_cutoff[li],
-                                   scene.pl_dir_falloff[li],
-                                   scene.pl_dir[li], view)
-    r = scene.pl_radius[li]
-    return spot[..., None] * scene.pl_color[li] / \
+    from ..scene.device import (PL_COLOR, PL_DIR, PL_DIRCUT, PL_FALLOFF,
+                                PL_RADIUS)
+    row = scene.pl_packed[li]
+    spot = get_spotlight_intensity(row[..., PL_DIRCUT],
+                                   row[..., PL_FALLOFF],
+                                   row[..., PL_DIR:PL_DIR + 3], view)
+    r = row[..., PL_RADIUS]
+    return spot[..., None] * row[..., PL_COLOR:PL_COLOR + 3] / \
         jnp.maximum(r * r * M_PI, 1e-20)[..., None]
 
 
 def sample_directional_light(scene: DeviceScene, li, u):
     """Returns (out_dir, color, pdf)."""
-    dl_dir = scene.dl_dir[li]
-    cutoff = scene.dl_dir_cutoff[li]
+    from ..scene.device import DL_COLOR, DL_DIR, DL_DIRCUT
+    row = scene.dl_packed[li]
+    dl_dir = row[..., DL_DIR:DL_DIR + 3]
+    cutoff = row[..., DL_DIRCUT]
+    dl_color = row[..., DL_COLOR:DL_COLOR + 3]
     out_dir = sample_cone(u, -dl_dir, cutoff)
     pdf = jnp.where(cutoff >= 1.0, -1.0,
                     1.0 / (2.0 * M_PI * jnp.maximum(1.0 - cutoff, 1e-12)))
-    color = jnp.where((pdf > 0)[..., None],
-                      scene.dl_color[li] * pdf[..., None],
-                      scene.dl_color[li])
+    color = jnp.where((pdf > 0)[..., None], dl_color * pdf[..., None],
+                      dl_color)
     return out_dir, color, pdf
 
 
 def sample_directional_light_pdf(scene: DeviceScene, li):
-    cutoff = scene.dl_dir_cutoff[li]
+    from ..scene.device import DL_DIRCUT
+    cutoff = scene.dl_packed[li, DL_DIRCUT]
     return jnp.where(cutoff >= 1.0, 0.0,
                      1.0 / (2.0 * M_PI * jnp.maximum(1.0 - cutoff, 1e-12)))
 
@@ -192,10 +206,12 @@ def sample_environment_map(scene: DeviceScene, rand_uint):
     ip = jnp.minimum((rand_uint[:, :2] //
                       (jnp.uint32(0xFFFFFFFF) // size)), size - 1)
     i = (ip[:, 0] + ip[:, 1] * w).astype(jnp.int32)
-    at_prob = scene.env_alias_prob[i]
+    row = scene.env_packed[i]                    # one gather
+    at_prob = jax.lax.bitcast_convert_type(row[:, 0], jnp.uint32)
+    alias_id = jax.lax.bitcast_convert_type(row[:, 1], jnp.uint32)
     take_alias = rand_uint[:, 2] > at_prob
-    pdf = jnp.where(take_alias, scene.env_alias_pdf[i], scene.env_pdf[i])
-    i = jnp.where(take_alias, scene.env_alias_id[i].astype(jnp.int32), i)
+    pdf = jnp.where(take_alias, row[:, 3], row[:, 2])
+    i = jnp.where(take_alias, alias_id.astype(jnp.int32), i)
     p = jnp.stack([i % w, i // w], axis=-1).astype(jnp.float32)
     pixel_count = jnp.uint32(w * h)
     off = (rand_uint[:, :2] * pixel_count).astype(jnp.float32) * \
@@ -257,4 +273,4 @@ def environment_radiance(scene: DeviceScene, view, has_envmap: bool):
     uv = jnp.stack([uvx, uvy], axis=-1)
     color = color * _sample_envmap_bilinear(scene.env_map, uv)
     i = latlong_direction_to_pixel_id(view, w, h)
-    return color, scene.env_pdf[i]
+    return color, scene.env_packed[i, 2]

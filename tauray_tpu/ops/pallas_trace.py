@@ -2,9 +2,15 @@
 
 Phase 2 of the cluster tracer (ops/cluster.py) as one on-chip kernel:
 
-  * grid = one program per GROUP of G ray tiles (TILE rays each); packing
-    G tiles per grid step amortizes the pallas pipeline's fixed per-step
-    cost (~6 us for tiny blocks) across 8 tiles;
+  * ray tiles are TILE=32 rays. Culling quality scales inversely with
+    tile size (a tile traverses the UNION of its rays' active cluster
+    sets); measured on test.glb bounce waves, 32-ray tiles do ~2.8x less
+    ray-triangle work than 128-ray tiles (mean active clusters 47 vs
+    131 of 636) while keeping the VPU's 8-sublane blocks full;
+  * grid = one program per GROUP of G=32 ray tiles; the per-tile sorted
+    key rows stream through a 4-slot SMEM ring, prefetched 3 tiles
+    ahead (each tile waits for the NEXT tile's row so every DMA is
+    waited exactly once, then issues the row 3 ahead);
   * phase 1 (dense slab culling) runs in XLA inside the same jitted
     program and produces, per tile, ONE sorted i32 key row: each key is
     (slab-entry-t bits & ~idmask) | cluster_id — a single `jnp.sort`
@@ -26,9 +32,7 @@ Phase 2 of the cluster tracer (ops/cluster.py) as one on-chip kernel:
     OPAQUE hit (per-cluster opacity flag, a global SMEM table DMA'd once
     at grid step 0; scratch persists across the sequential grid).
     Alpha-capable hits still resolve closest-first so the alpha re-trace
-    rounds in ops/trace_utils.py stay correct;
-  * per-tile metadata is double-buffered ACROSS grid steps: group b
-    prefetches group b+1's key rows during its own traversal.
+    rounds in ops/trace_utils.py stay correct.
 
 Only (t, id) are tracked in the loop; barycentrics are recomputed for
 the single best triangle in a cheap XLA post-pass.
@@ -44,56 +48,65 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TILE = 128
+TILE = 32
 CLUSTER = 128
 KB = 8                    # clusters per loop iteration
 BK = KB * CLUSTER
-G = 8                     # ray tiles per grid step
+G = 32                    # ray tiles per grid step
+NM = 4                    # meta ring slots
 BIG = 3.0e38
 
 
 def _kernel(counts_ref,             # scalar prefetch (n_tiles,)
             meta_ref,               # (n_tiles*cpad,) i32 HBM sorted keys
-            rays_ref,               # (G, TILE, 8) VMEM block
+            o_ref,                  # (G, TILE, 3) VMEM block origins
+            d_ref,                  # (G, TILE, 3) VMEM block directions
+            mm_ref,                 # (G, TILE, 2) VMEM block [tmin, tmax]
             tris_ref,               # (C, 9, 1, CLUSTER) HBM
             opq_ref,                # (opad,) i32 HBM global cluster opacity
             out_ref,                # (G, TILE, 2) VMEM block [t, id bits]
             tri_scr, meta_scr, opq_scr, meta_sem, opq_sem, sem,
             *, n_clusters: int, cpad: int, idmask: int, any_hit: bool):
     b = pl.program_id(0)
-    nb = pl.num_programs(0)
-    grow = G * cpad
+    n_tiles = pl.num_programs(0) * G
 
-    def meta_dma(slot, blk):
+    def meta_dma(gt):
+        slot = jax.lax.rem(gt, NM)
         return pltpu.make_async_copy(
-            meta_ref.at[pl.ds(blk * grow, grow)],
-            meta_scr.at[pl.ds(slot * grow, grow)], meta_sem.at[slot])
+            meta_ref.at[pl.ds(gt * cpad, cpad)],
+            meta_scr.at[pl.ds(slot * cpad, cpad)], meta_sem.at[slot])
 
     # the global opacity table is fetched once; SMEM scratch persists
-    # across the sequential grid
+    # across the sequential grid (grid iterations run sequentially on
+    # the core)
     if any_hit:
         @pl.when(b == 0)
         def _():
-            pltpu.make_async_copy(opq_ref, opq_scr, opq_sem).start()
+            cp = pltpu.make_async_copy(opq_ref, opq_scr, opq_sem)
+            cp.start()
+            cp.wait()
 
-    # pipeline the key rows across grid steps
+    # prime the meta ring: rows 0..NM-2, wait row 0
     @pl.when(b == 0)
     def _():
-        meta_dma(0, b).start()
-    slot = jax.lax.rem(b, 2)
-
-    @pl.when(b + 1 < nb)
-    def _():
-        meta_dma(jax.lax.rem(b + 1, 2), b + 1).start()
-    meta_dma(slot, b).wait()
-    if any_hit:
-        @pl.when(b == 0)
-        def _():
-            pltpu.make_async_copy(opq_ref, opq_scr, opq_sem).wait()
+        for gt0 in range(NM - 1):
+            meta_dma(gt0).start()
+        meta_dma(0).wait()
 
     def process_tile(g, _):
-        base = slot * grow + g * cpad
-        count = counts_ref[b * G + g]
+        gt = b * G + g
+        # keep the ring NM-1 ahead; tile gt waits gt+1's row so each DMA
+        # is waited exactly once (row 0 is waited in the b==0 priming)
+        @pl.when(gt + NM - 1 < n_tiles)
+        def _():
+            meta_dma(gt + NM - 1).start()
+
+        @pl.when(gt + 1 < n_tiles)
+        def _():
+            meta_dma(gt + 1).wait()
+
+        base = jax.lax.rem(gt, NM) * cpad
+        count = counts_ref[gt]
         steps = (count + KB - 1) // KB
 
         def key_at(k):
@@ -102,14 +115,14 @@ def _kernel(counts_ref,             # scalar prefetch (n_tiles,)
         def order_at(k):
             return jnp.minimum(key_at(k) & idmask, n_clusters - 1)
 
-        ox = rays_ref[g, :, 0:1]
-        oy = rays_ref[g, :, 1:2]
-        oz = rays_ref[g, :, 2:3]
-        dx = rays_ref[g, :, 3:4]
-        dy = rays_ref[g, :, 4:5]
-        dz = rays_ref[g, :, 5:6]
-        tmin = rays_ref[g, :, 6:7]
-        tmax = rays_ref[g, :, 7:8]
+        ox = o_ref[g, :, 0:1]
+        oy = o_ref[g, :, 1:2]
+        oz = o_ref[g, :, 2:3]
+        dx = d_ref[g, :, 0:1]
+        dy = d_ref[g, :, 1:2]
+        dz = d_ref[g, :, 2:3]
+        tmin = mm_ref[g, :, 0:1]
+        tmax = mm_ref[g, :, 1:2]
 
         def get_dmas(buf, step):
             return [pltpu.make_async_copy(
@@ -225,12 +238,13 @@ def _kernel(counts_ref,             # scalar prefetch (n_tiles,)
 @partial(jax.jit,
          static_argnames=("n_clusters", "cpad", "idmask", "any_hit",
                           "interpret"))
-def pallas_trace_tiles(counts, keys, rays_packed, tris9, opaque,
+def pallas_trace_tiles(counts, keys, o3, d3, mm2, tris9, opaque,
                        n_clusters: int, cpad: int, idmask: int,
                        any_hit: bool = False, interpret: bool = False):
     """counts: (n_tiles,) i32 active-cluster counts; keys:
     (n_tiles, cpad) i32 sorted phase-1 keys ((tnear bits & ~idmask) | id);
-    rays_packed: (n_tiles, TILE, 8) f32 [ox,oy,oz,dx,dy,dz,tmin,tmax];
+    o3/d3: (n_tiles, TILE, 3) f32 origins/directions; mm2:
+    (n_tiles, TILE, 2) f32 [tmin, tmax];
     tris9: (C, 9, 1, CLUSTER) f32 (v0/e1/e2 components in lanes);
     opaque: (opad,) i32 per-cluster opacity, opad a multiple of 1024.
     Returns (t (f32, inf=miss), tri_id (i32, -1=miss)), (n_tiles*TILE,)."""
@@ -241,7 +255,11 @@ def pallas_trace_tiles(counts, keys, rays_packed, tris9, opaque,
         num_scalar_prefetch=1,
         grid=(n_tiles // G,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
-                  pl.BlockSpec((G, TILE, 8), lambda b, *_: (b, 0, 0),
+                  pl.BlockSpec((G, TILE, 3), lambda b, *_: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((G, TILE, 3), lambda b, *_: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((G, TILE, 2), lambda b, *_: (b, 0, 0),
                                memory_space=pltpu.VMEM),
                   pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
                   pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)],
@@ -249,9 +267,9 @@ def pallas_trace_tiles(counts, keys, rays_packed, tris9, opaque,
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((2, 9, 1, BK), jnp.float32),
-            pltpu.SMEM((2 * G * cpad,), jnp.int32),
+            pltpu.SMEM((NM * cpad,), jnp.int32),
             pltpu.SMEM((opaque.shape[0],), jnp.int32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((NM,)),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA((2, KB)),
         ])
@@ -261,7 +279,7 @@ def pallas_trace_tiles(counts, keys, rays_packed, tris9, opaque,
                 any_hit=any_hit),
         out_shape=out_shape, grid_spec=grid_spec,
         interpret=interpret,
-    )(counts, keys, rays_packed, tris9, opaque)
+    )(counts, keys, o3, d3, mm2, tris9, opaque)
     t = out[:, :, 0].reshape(-1)
     tid = jax.lax.bitcast_convert_type(out[:, :, 1], jnp.int32).reshape(-1)
     t = jnp.where(tid < 0, jnp.inf, t)

@@ -160,6 +160,46 @@ def sample_texture(scene: DeviceScene, tex_id, uv):
     return jnp.where(tex_id[:, None] >= 0, col, 1.0)
 
 
+def sample_texture_quad(scene: DeviceScene, tex_id, size, uv):
+    """Bilinear sample via the 4x4-block texture layout: ONE row gather
+    per sample instead of four texel gathers (TPU gathers are
+    row-latency-bound, so this is ~4x cheaper; scene.tex_quads is built
+    by scene/device.py build_tex_quads).
+
+    tex_id: (R,) i32/f32 (negative = unbound, returns 1); size: (R, 2)
+    actual (w, h); uv: (R, 2). REPEAT wrapping."""
+    tid = jnp.maximum(tex_id.astype(jnp.int32), 0)
+    w = jnp.maximum(size[:, 0], 1.0)
+    h = jnp.maximum(size[:, 1], 1.0)
+    u = uv[:, 0] * w - 0.5
+    v = uv[:, 1] * h - 0.5
+    x0 = jnp.floor(u)
+    y0 = jnp.floor(v)
+    fu = (u - x0)[:, None]
+    fv = (v - y0)[:, None]
+    wi = w.astype(jnp.int32)
+    hi = h.astype(jnp.int32)
+    x0i = jnp.mod(x0.astype(jnp.int32), wi)
+    y0i = jnp.mod(y0.astype(jnp.int32), hi)
+    px = x0i >> 1
+    py = y0i >> 1
+    lx = (x0i & 1)[:, None]
+    ly = (y0i & 1)[:, None]
+    blk = scene.tex_quads[tid, py, px].astype(jnp.float32)   # (R, 64)
+    q = blk.reshape(-1, 4, 4, 4)
+    # rows y0, y0+1 live at block rows (ly, ly+1), ly in {0, 1}
+    rA = jnp.where(ly[..., None] == 0, q[:, 0], q[:, 1])     # (R, 4, 4)
+    rB = jnp.where(ly[..., None] == 0, q[:, 1], q[:, 2])
+    lxm = lx == 0
+    c00 = jnp.where(lxm, rA[:, 0], rA[:, 1])
+    c10 = jnp.where(lxm, rA[:, 1], rA[:, 2])
+    c01 = jnp.where(lxm, rB[:, 0], rB[:, 1])
+    c11 = jnp.where(lxm, rB[:, 1], rB[:, 2])
+    col = (c00 * (1 - fu) * (1 - fv) + c10 * fu * (1 - fv) +
+           c01 * (1 - fu) * fv + c11 * fu * fv) * (1.0 / 255.0)
+    return jnp.where(tex_id[:, None] >= 0, col, 1.0)
+
+
 def inverse_srgb_correction(col):
     """(reference: shader/color.glsl:7-12) — the exact polynomial."""
     low = col * 0.07739938
@@ -207,24 +247,34 @@ class SampledMaterial(NamedTuple):
 def interpolate_vertex(scene: DeviceScene, tri_id, bary_u, bary_v, view_dir
                        ) -> VertexData:
     """(reference: shader/rt.glsl get_interpolated_vertex). tri_id must be
-    clamped valid (mask misses outside)."""
+    clamped valid (mask misses outside). ONE tri_packed row gather feeds
+    the whole interpolation (gathers are row-latency-bound on TPU)."""
+    from ..scene.device import (TP_HARDN, TP_INST, TP_NORMAL, TP_POS,
+                                TP_PREV, TP_TANGENT, TP_UV)
     tid = jnp.maximum(tri_id, 0)
-    b = jnp.stack([1.0 - bary_u - bary_v, bary_u, bary_v], axis=-1)  # (R, 3)
-    corners_pos = scene.tri_pos[tid]                   # (R, 3, 3)
-    pos = jnp.einsum("rc,rcj->rj", b, corners_pos)
-    prev_pos = jnp.einsum("rc,rcj->rj", b, scene.tri_pos_prev[tid])
-    smooth_n = normalize(jnp.einsum("rc,rcj->rj", b, scene.tri_normal[tid]))
-    tan4 = scene.tri_tangent[tid]                      # (R, 3, 4)
-    avg_tan = jnp.einsum("rc,rcj->rj", b, tan4)
+    g = scene.tri_packed[tid]                          # (R, TP_COLS)
+    b0 = (1.0 - bary_u - bary_v)[:, None]
+    b1 = bary_u[:, None]
+    b2 = bary_v[:, None]
+
+    def lerp3(base, n):
+        return (g[:, base:base + n] * b0 +
+                g[:, base + n:base + 2 * n] * b1 +
+                g[:, base + 2 * n:base + 3 * n] * b2)
+
+    pos = lerp3(TP_POS, 3)
+    prev_pos = lerp3(TP_PREV, 3)
+    smooth_n = normalize(lerp3(TP_NORMAL, 3))
+    avg_tan = lerp3(TP_TANGENT, 4)
     tangent = normalize(avg_tan[:, :3])
-    uv = jnp.einsum("rc,rcj->rj", b, scene.tri_uv[tid])
-    hard_n = scene.tri_hard_normal[tid]
+    uv = lerp3(TP_UV, 2)
+    hard_n = g[:, TP_HARDN:TP_HARDN + 3]
     back = jnp.sum(hard_n * view_dir, axis=-1) > 0
     sgn = jnp.where(back, -1.0, 1.0)[:, None]
     smooth_n = smooth_n * sgn
     hard_n = hard_n * sgn
     bitangent = normalize(jnp.cross(smooth_n, tangent) * avg_tan[:, 3:4])
-    inst = scene.tri_instance[tid]
+    inst = g[:, TP_INST].astype(jnp.int32)
     return VertexData(
         pos=pos, prev_pos=prev_pos, hard_normal=hard_n,
         smooth_normal=smooth_n, mapped_normal=smooth_n, uv=uv,
@@ -235,27 +285,35 @@ def interpolate_vertex(scene: DeviceScene, tri_id, bary_u, bary_v, view_dir
 def sample_material(scene: DeviceScene, v: VertexData
                     ) -> Tuple[SampledMaterial, VertexData]:
     """(reference: shader/scene.glsl sample_material). Returns material and
-    vertex data with normal mapping applied."""
+    vertex data with normal mapping applied. ONE inst_packed row gather +
+    one block gather per sampled texture."""
+    from ..scene.device import (IP_ALBEDO, IP_CUTOFF, IP_DOUBLE,
+                                IP_EMISSION, IP_IOR, IP_METAL,
+                                IP_NORMAL_F, IP_ROUGH, IP_STMUL,
+                                IP_TEX, IP_TEXSIZE, IP_TRANSMIT)
     inst = jnp.maximum(v.instance_id, 0)
-    tex = scene.inst_tex[inst]                          # (R, 4)
+    m = scene.inst_packed[inst]                         # (R, IP_COLS)
+    tex = m[:, IP_TEX:IP_TEX + 4].astype(jnp.int32)
 
-    albedo = scene.inst_albedo[inst]
-    tex_col = sample_texture(scene, tex[:, 0], v.uv)
+    def tex_at(slot):
+        size = m[:, IP_TEXSIZE + 2 * slot:IP_TEXSIZE + 2 * slot + 2]
+        return sample_texture_quad(scene, tex[:, slot], size, v.uv)
+
+    albedo = m[:, IP_ALBEDO:IP_ALBEDO + 4]
+    tex_col = tex_at(0)
     tex_rgb = inverse_srgb_correction(tex_col[:, :3])
     albedo = albedo * jnp.concatenate([tex_rgb, tex_col[:, 3:4]], axis=-1)
 
-    mr = jnp.stack([scene.inst_metallic[inst],
-                    scene.inst_roughness[inst]], axis=-1)
-    mr_tex = sample_texture(scene, tex[:, 1], v.uv)
+    mr_tex = tex_at(1)
     # glTF: metallic in B, roughness in G (reference: scene.glsl .bg swizzle)
-    mr = mr * jnp.stack([mr_tex[:, 2], mr_tex[:, 1]], axis=-1)
-    metallic = mr[:, 0]
-    roughness = mr[:, 1] * mr[:, 1]   # artist-space squaring
+    metallic = m[:, IP_METAL] * mr_tex[:, 2]
+    r = m[:, IP_ROUGH] * mr_tex[:, 1]
+    roughness = r * r                 # artist-space squaring
 
     mapped_normal = v.smooth_normal
     has_normal_tex = tex[:, 2] >= 0
-    nf = scene.inst_normal_factor[inst][:, None]
-    ts_n = sample_texture(scene, tex[:, 2], v.uv)[:, :3] * 2.0 - 1.0
+    nf = m[:, IP_NORMAL_F:IP_NORMAL_F + 1]
+    ts_n = tex_at(2)[:, :3] * 2.0 - 1.0
     ts_n = normalize(ts_n)
     tbn_n = (v.tangent * ts_n[:, 0:1] * nf +
              v.bitangent * ts_n[:, 1:2] * nf +
@@ -265,11 +323,10 @@ def sample_material(scene: DeviceScene, v: VertexData
         (has_normal_tex[:, None]) & jnp.isfinite(tbn_n).all(-1, keepdims=True),
         tbn_n, mapped_normal)
 
-    emission = scene.inst_emission[inst] * \
-        sample_texture(scene, tex[:, 3], v.uv)[:, :3]
+    emission = m[:, IP_EMISSION:IP_EMISSION + 3] * tex_at(3)[:, :3]
 
-    transmittance = scene.inst_transmittance[inst]
-    ior = scene.inst_ior[inst]
+    transmittance = m[:, IP_TRANSMIT]
+    ior = m[:, IP_IOR]
     refr_back = v.back_facing & (transmittance > 0.0001)
     ior_in = jnp.where(refr_back, ior, 1.0)
     ior_out = jnp.where(refr_back, 1.0, ior)
@@ -279,6 +336,6 @@ def sample_material(scene: DeviceScene, v: VertexData
         albedo=albedo, metallic=metallic, roughness=roughness,
         emission=emission, transmittance=transmittance,
         ior_in=ior_in, ior_out=ior_out, f0=f0,
-        double_sided=scene.inst_double_sided[inst],
-        shadow_terminator_mul=scene.inst_st_mul[inst])
+        double_sided=m[:, IP_DOUBLE] > 0.5,
+        shadow_terminator_mul=m[:, IP_STMUL])
     return mat, v._replace(mapped_normal=mapped_normal)

@@ -25,13 +25,22 @@ from .shading import sample_texture
 
 def _hit_alpha(scene: DeviceScene, tri_id, u, v):
     """albedo.a at a hit (reference: shader/rt.glsl is_material_skippable:
-    albedo_factor.a * albedo_texture.a)."""
+    albedo_factor.a * albedo_texture.a). Two row gathers + one texture
+    block gather."""
+    from ..scene.device import IP_ALBEDO, IP_TEX, IP_TEXSIZE, TP_INST, TP_UV
+    from .shading import sample_texture_quad
     tid = jnp.maximum(tri_id, 0)
-    inst = jnp.maximum(scene.tri_instance[tid], 0)
-    b = jnp.stack([1.0 - u - v, u, v], axis=-1)
-    uv = jnp.einsum("rc,rcj->rj", b, scene.tri_uv[tid])
-    a_factor = scene.inst_albedo[inst, 3]
-    tex_a = sample_texture(scene, scene.inst_tex[inst, 0], uv)[:, 3]
+    g = scene.tri_packed[tid]
+    inst = jnp.maximum(g[:, TP_INST].astype(jnp.int32), 0)
+    b0 = (1.0 - u - v)[:, None]
+    uv = (g[:, TP_UV:TP_UV + 2] * b0 +
+          g[:, TP_UV + 2:TP_UV + 4] * u[:, None] +
+          g[:, TP_UV + 4:TP_UV + 6] * v[:, None])
+    m = scene.inst_packed[inst]
+    a_factor = m[:, IP_ALBEDO + 3]
+    tex_a = sample_texture_quad(
+        scene, m[:, IP_TEX].astype(jnp.int32),
+        m[:, IP_TEXSIZE:IP_TEXSIZE + 2], uv)[:, 3]
     return a_factor * tex_a
 
 
@@ -55,9 +64,12 @@ def trace_alpha(scene: DeviceScene, tracer, origins, dirs, t_min, t_max,
         may_skip = valid & scene.inst_has_alpha[inst]
         alpha = _hit_alpha(scene, hit.tri_id, hit.u, hit.v)
         skip = may_skip & (alpha <= cutoff)
-        # re-trace skipped rays past the transparent hit
+        # re-trace skipped rays past the transparent hit; everyone else
+        # gets t_max=0 so the traversal kernel resolves them in 0 steps
         new_tmin = jnp.where(skip, hit.t * (1 + 1e-5) + 1e-6, t_min)
-        rehit = tracer.trace(origins, dirs, new_tmin, t_max, any_hit=any_hit)
+        new_tmax = jnp.where(skip, t_max, 0.0)
+        rehit = tracer.trace(origins, dirs, new_tmin, new_tmax,
+                             any_hit=any_hit)
         hit = Hit(
             t=jnp.where(skip, rehit.t, hit.t),
             tri_id=jnp.where(skip, rehit.tri_id, hit.tri_id),

@@ -238,10 +238,13 @@ class SceneArrays:
         self._dl_entities = dls
 
     def _build_textures(self):
+        from .device import build_tex_quads
         texs = getattr(self.scene, "textures", [])
         if not texs:
             self.textures = np.zeros((1, 1, 1, 4), dtype=np.uint8)
             self.texture_size = np.ones((1, 2), dtype=np.int32)
+            self.tex_quads = build_tex_quads(self.textures,
+                                             self.texture_size)
             return
         max_h = max(t.shape[0] for t in texs)
         max_w = max(t.shape[1] for t in texs)
@@ -252,6 +255,9 @@ class SceneArrays:
             sizes[i] = [t.shape[1], t.shape[0]]  # (w, h)
         self.textures = stack
         self.texture_size = sizes
+        # 4x4-block layout for single-gather bilinear taps (built once;
+        # textures are static across frames)
+        self.tex_quads = build_tex_quads(stack, sizes)
 
     # ------------------------------------------------------------------
     def update(self, keep_prev: bool = False):

@@ -71,6 +71,168 @@ class DeviceScene(NamedTuple):
     textures: Any           # (N, H, W, 4) u8
     texture_size: Any       # (N, 2) i32
     ambient: Any            # (3,)
+    # gather-consolidated tables: TPU gathers are row-latency-bound
+    # (~identical cost for 4-byte and 256-byte rows), so per-hit shading
+    # reads ONE wide row per table instead of ~37 narrow gathers
+    tri_packed: Any         # (T, 49) f32, see _pack_triangles
+    inst_packed: Any        # (I, 32) f32, see _pack_instances
+    tex_quads: Any          # (N, ceil(H/2), ceil(W/2), 64) u8 4x4 blocks
+    pl_packed: Any          # (P, 16) f32, see _pack_lights
+    dl_packed: Any          # (D, 8) f32
+    tl_packed: Any          # (L, 24) f32
+    env_packed: Any         # (H*W, 4) f32 [prob|alias_id bits, pdf, apdf]
+
+
+# tri_packed column layout
+TP_POS = 0          # 0:9   corner positions
+TP_PREV = 9         # 9:18  previous-frame corner positions
+TP_NORMAL = 18      # 18:27 corner normals
+TP_UV = 27          # 27:33 corner uvs
+TP_TANGENT = 33     # 33:45 corner tangent4s
+TP_HARDN = 45       # 45:48 hard normal
+TP_INST = 48        # instance id (as float; exact below 2^24)
+TP_COLS = 49
+
+# inst_packed column layout
+IP_ALBEDO = 0       # 0:4
+IP_METAL = 4
+IP_ROUGH = 5
+IP_EMISSION = 6     # 6:9
+IP_TRANSMIT = 9
+IP_IOR = 10
+IP_NORMAL_F = 11
+IP_DOUBLE = 12
+IP_CUTOFF = 13
+IP_TEX = 14         # 14:18 texture ids (albedo, mr, normal, emission)
+IP_STMUL = 18
+IP_LIGHTBASE = 19
+IP_HASALPHA = 20
+IP_BLEND = 21
+IP_TEXSIZE = 22     # 22:30 (w, h) per texture slot
+IP_COLS = 32
+
+
+def _pack_triangles(sa: SceneArrays) -> np.ndarray:
+    T = sa.tri_pos.shape[0]
+    out = np.zeros((T, TP_COLS), np.float32)
+    out[:, TP_POS:TP_POS + 9] = sa.tri_pos.reshape(T, 9)
+    out[:, TP_PREV:TP_PREV + 9] = sa.tri_pos_prev.reshape(T, 9)
+    out[:, TP_NORMAL:TP_NORMAL + 9] = sa.tri_normal.reshape(T, 9)
+    out[:, TP_UV:TP_UV + 6] = sa.tri_uv.reshape(T, 6)
+    out[:, TP_TANGENT:TP_TANGENT + 12] = sa.tri_tangent.reshape(T, 12)
+    out[:, TP_HARDN:TP_HARDN + 3] = sa.tri_hard_normal
+    out[:, TP_INST] = sa.tri_instance
+    return out
+
+
+def _pack_instances(sa: SceneArrays) -> np.ndarray:
+    I = sa.inst_albedo.shape[0]
+    out = np.zeros((I, IP_COLS), np.float32)
+    out[:, IP_ALBEDO:IP_ALBEDO + 4] = sa.inst_albedo
+    out[:, IP_METAL] = sa.inst_metallic
+    out[:, IP_ROUGH] = sa.inst_roughness
+    out[:, IP_EMISSION:IP_EMISSION + 3] = sa.inst_emission
+    out[:, IP_TRANSMIT] = sa.inst_transmittance
+    out[:, IP_IOR] = sa.inst_ior
+    out[:, IP_NORMAL_F] = sa.inst_normal_factor
+    out[:, IP_DOUBLE] = sa.inst_double_sided
+    out[:, IP_CUTOFF] = sa.inst_alpha_cutoff
+    out[:, IP_TEX:IP_TEX + 4] = sa.inst_tex
+    out[:, IP_STMUL] = sa.inst_st_mul
+    out[:, IP_LIGHTBASE] = sa.inst_light_base
+    out[:, IP_HASALPHA] = sa.inst_has_alpha
+    out[:, IP_BLEND] = getattr(sa, "inst_blend",
+                               np.zeros_like(sa.inst_has_alpha))
+    sizes = sa.texture_size[np.maximum(sa.inst_tex, 0)]      # (I, 4, 2)
+    sizes = np.where(sa.inst_tex[..., None] >= 0, sizes, 1)
+    out[:, IP_TEXSIZE:IP_TEXSIZE + 8] = sizes.reshape(I, 8)
+    return out
+
+
+# pl_packed columns
+PL_POS = 0          # 0:3
+PL_COLOR = 3        # 3:6
+PL_DIR = 6          # 6:9
+PL_RADIUS = 9
+PL_DIRCUT = 10
+PL_FALLOFF = 11
+PL_CUTRAD = 12
+PL_SPOTRAD = 13
+PL_COLS = 16
+
+# dl_packed columns
+DL_DIR = 0          # 0:3
+DL_COLOR = 3        # 3:6
+DL_DIRCUT = 6
+DL_COLS = 8
+
+# tl_packed columns
+TL_POS = 0          # 0:9
+TL_EMISSION = 9     # 9:12
+TL_UV = 12          # 12:18
+TL_TEX = 18
+TL_TEXSIZE = 19     # 19:21
+TL_COLS = 24
+
+
+def _pack_lights(sa: SceneArrays):
+    P = sa.pl_pos.shape[0]
+    pl = np.zeros((P, PL_COLS), np.float32)
+    pl[:, PL_POS:PL_POS + 3] = sa.pl_pos
+    pl[:, PL_COLOR:PL_COLOR + 3] = sa.pl_color
+    pl[:, PL_DIR:PL_DIR + 3] = sa.pl_dir
+    pl[:, PL_RADIUS] = sa.pl_radius
+    pl[:, PL_DIRCUT] = sa.pl_dir_cutoff
+    pl[:, PL_FALLOFF] = sa.pl_dir_falloff
+    pl[:, PL_CUTRAD] = sa.pl_cutoff_radius
+    pl[:, PL_SPOTRAD] = sa.pl_spot_radius
+    D = sa.dl_dir.shape[0]
+    dl = np.zeros((D, DL_COLS), np.float32)
+    dl[:, DL_DIR:DL_DIR + 3] = sa.dl_dir
+    dl[:, DL_COLOR:DL_COLOR + 3] = sa.dl_color
+    dl[:, DL_DIRCUT] = sa.dl_dir_cutoff
+    L = sa.tl_pos.shape[0]
+    tl = np.zeros((L, TL_COLS), np.float32)
+    tl[:, TL_POS:TL_POS + 9] = sa.tl_pos.reshape(L, 9)
+    tl[:, TL_EMISSION:TL_EMISSION + 3] = sa.tl_emission
+    tl[:, TL_UV:TL_UV + 6] = sa.tl_uv.reshape(L, 6)
+    tl[:, TL_TEX] = sa.tl_tex
+    sz = sa.texture_size[np.maximum(sa.tl_tex, 0)]
+    tl[:, TL_TEXSIZE:TL_TEXSIZE + 2] = np.where(
+        sa.tl_tex[:, None] >= 0, sz, 1)
+    return pl, dl, tl
+
+
+def _pack_env(alias_id, alias_prob, pdf, alias_pdf) -> np.ndarray:
+    n = pdf.shape[0]
+    out = np.zeros((n, 4), np.float32)
+    out[:, 0] = alias_prob.view(np.float32)
+    out[:, 1] = alias_id.astype(np.uint32).view(np.float32)
+    out[:, 2] = pdf
+    out[:, 3] = alias_pdf
+    return out
+
+
+def build_tex_quads(textures: np.ndarray, sizes: np.ndarray) -> np.ndarray:
+    """(N, H, W, 4) u8 stack -> (N, ceil(H/2), ceil(W/2), 64) u8 where
+    entry (py, px) holds the 4x4 texel block rows (2py..2py+3) mod h,
+    cols (2px..2px+3) mod w (h, w = the texture's ACTUAL size). Any
+    bilinear footprint (y0, y0+1) x (x0, x1) lies inside the single
+    entry (y0>>1, x0>>1), so one row gather replaces four texel gathers."""
+    N, H, W, _ = textures.shape
+    Hq, Wq = (H + 1) // 2, (W + 1) // 2
+    out = np.zeros((N, Hq, Wq, 64), np.uint8)
+    for n in range(N):
+        w, h = int(sizes[n, 0]), int(sizes[n, 1])
+        if w <= 0 or h <= 0:
+            continue
+        t = textures[n, :h, :w]
+        rows = (2 * np.arange(Hq)[:, None] + np.arange(4)[None, :]) % h
+        cols = (2 * np.arange(Wq)[:, None] + np.arange(4)[None, :]) % w
+        # (Hq, 4, Wq, 4, 4) -> (Hq, Wq, 4, 4, 4)
+        blk = t[rows[:, :, None, None], cols[None, None, :, :]]
+        out[n] = blk.transpose(0, 2, 1, 3, 4).reshape(Hq, Wq, 64)
+    return out
 
 
 def to_device_scene(sa: SceneArrays, transparent_background: bool = False
@@ -94,6 +256,26 @@ def to_device_scene(sa: SceneArrays, transparent_background: bool = False
         env_pdf = np.zeros(1, dtype=np.float32)
         env_alias_pdf = np.zeros(1, dtype=np.float32)
 
+    pl_packed, dl_packed, tl_packed = _pack_lights(sa)
+
+    # static textures/env tables are uploaded once and memoized on the
+    # SceneArrays object — to_device_scene runs every frame for animated
+    # scenes and jnp.asarray would re-transfer them each time
+    cache = getattr(sa, "_device_static_cache", None)
+    if cache is None:
+        cache = {
+            "textures": jnp.asarray(sa.textures),
+            "tex_quads": jnp.asarray(sa.tex_quads),
+            "texture_size": jnp.asarray(sa.texture_size),
+            "env_map": jnp.asarray(env_map),
+            "env_alias_id": jnp.asarray(env_alias_id),
+            "env_alias_prob": jnp.asarray(env_alias_prob),
+            "env_pdf": jnp.asarray(env_pdf),
+            "env_alias_pdf": jnp.asarray(env_alias_pdf),
+            "env_packed": jnp.asarray(_pack_env(
+                env_alias_id, env_alias_prob, env_pdf, env_alias_pdf)),
+        }
+        sa._device_static_cache = cache
     return DeviceScene(
         tri_pos=jnp.asarray(sa.tri_pos),
         tri_normal=jnp.asarray(sa.tri_normal),
@@ -138,14 +320,21 @@ def to_device_scene(sa: SceneArrays, transparent_background: bool = False
         tri_light_count=jnp.int32(sa.tri_light_count),
         env_factor=jnp.asarray(env_factor),
         env_proj=jnp.asarray(env_proj),
-        env_map=jnp.asarray(env_map),
-        env_alias_id=jnp.asarray(env_alias_id),
-        env_alias_prob=jnp.asarray(env_alias_prob),
-        env_pdf=jnp.asarray(env_pdf),
-        env_alias_pdf=jnp.asarray(env_alias_pdf),
-        textures=jnp.asarray(sa.textures),
-        texture_size=jnp.asarray(sa.texture_size),
+        env_map=cache["env_map"],
+        env_alias_id=cache["env_alias_id"],
+        env_alias_prob=cache["env_alias_prob"],
+        env_pdf=cache["env_pdf"],
+        env_alias_pdf=cache["env_alias_pdf"],
+        textures=cache["textures"],
+        texture_size=cache["texture_size"],
         ambient=jnp.asarray(sa.scene.ambient),
+        tri_packed=jnp.asarray(_pack_triangles(sa)),
+        inst_packed=jnp.asarray(_pack_instances(sa)),
+        tex_quads=cache["tex_quads"],
+        pl_packed=jnp.asarray(pl_packed),
+        dl_packed=jnp.asarray(dl_packed),
+        tl_packed=jnp.asarray(tl_packed),
+        env_packed=cache["env_packed"],
     )
 
 

@@ -184,13 +184,15 @@ def sample_explicit_light(cfg: PTConfig, scene: DeviceScene, rand_uint, pos):
         pdf = jnp.where(pick_point, p, pdf)
 
     if w.triangle > 0:
+        from ..scene.device import TL_EMISSION, TL_POS, TL_TEX, TL_TEXSIZE, TL_UV
+        from ..ops.shading import sample_texture_quad
         lc = scene.tri_light_count
         li = jnp.clip((u[:, 2] * lc).astype(jnp.int32), 0, lc - 1)
-        tl = scene.tl_pos[li]                      # (R, 3, 3)
-        A = tl[:, 0] - pos
-        B = tl[:, 1] - pos
-        C = tl[:, 2] - pos
-        c = scene.tl_emission[li]
+        row = scene.tl_packed[li]                  # one gather
+        A = row[:, TL_POS + 0:TL_POS + 3] - pos
+        B = row[:, TL_POS + 3:TL_POS + 6] - pos
+        C = row[:, TL_POS + 6:TL_POS + 9] - pos
+        c = row[:, TL_EMISSION:TL_EMISSION + 3]
         d, tri_pdf = sample_triangle_light(u[:, :2], A, B, C,
                                            cfg.tri_light_mode)
         l = ray_plane_intersection_dist(d, A, B, C)
@@ -198,8 +200,12 @@ def sample_explicit_light(cfg: PTConfig, scene: DeviceScene, rand_uint, pos):
             (l <= cfg.min_ray_dist) | ~jnp.isfinite(d).all(-1)
         # textured emissive triangles
         bary = get_barycentric_coords(d * l[:, None], A, B, C)
-        uv = jnp.einsum("rc,rcj->rj", bary, scene.tl_uv[li])
-        tex = sample_texture(scene, scene.tl_tex[li], uv)[:, :3]
+        uv = (row[:, TL_UV:TL_UV + 2] * bary[:, 0:1] +
+              row[:, TL_UV + 2:TL_UV + 4] * bary[:, 1:2] +
+              row[:, TL_UV + 4:TL_UV + 6] * bary[:, 2:3])
+        tex = sample_texture_quad(
+            scene, row[:, TL_TEX].astype(jnp.int32),
+            row[:, TL_TEXSIZE:TL_TEXSIZE + 2], uv)[:, :3]
         c = c * tex
         l = l - cfg.min_ray_dist
         p = w.triangle * tri_pdf / jnp.maximum(lc, 1)
@@ -328,8 +334,10 @@ def _shade_bounce(cfg: PTConfig, scene: DeviceScene, state, hit, vis,
     mat = mat._replace(albedo=jnp.concatenate(
         [mat.albedo[:, :3], jnp.ones((R, 1), jnp.float32)], axis=-1))
 
+    from ..scene.device import IP_LIGHTBASE, TP_POS
     inst = jnp.maximum(v.instance_id, 0)
-    is_emissive_inst = scene.inst_light_base[inst] >= 0
+    # row gather CSEs with sample_material's inst_packed gather
+    is_emissive_inst = scene.inst_packed[inst, IP_LIGHTBASE] >= 0
 
     nee_point = jnp.zeros(R, jnp.float32)
     nee_dir = jnp.zeros(R, jnp.float32)
@@ -339,11 +347,14 @@ def _shade_bounce(cfg: PTConfig, scene: DeviceScene, state, hit, vis,
     emission = mat.emission
 
     if cfg.nee.triangle > 0:
+        # corner positions from the tri_packed row (CSEs with
+        # interpolate_vertex's gather)
+        gp = scene.tri_packed[jnp.maximum(hit.tri_id, 0)]
         tri_pdf = sample_triangle_light_pdf(
             v.pos - pos,
-            scene.tri_pos[jnp.maximum(hit.tri_id, 0), 0] - pos,
-            scene.tri_pos[jnp.maximum(hit.tri_id, 0), 1] - pos,
-            scene.tri_pos[jnp.maximum(hit.tri_id, 0), 2] - pos,
+            gp[:, TP_POS + 0:TP_POS + 3] - pos,
+            gp[:, TP_POS + 3:TP_POS + 6] - pos,
+            gp[:, TP_POS + 6:TP_POS + 9] - pos,
             cfg.tri_light_mode)
         nee_tri = jnp.where(tri_hit & is_emissive_inst, tri_pdf, 0.0)
         light = jnp.where((tri_hit & is_emissive_inst)[:, None],
@@ -564,35 +575,56 @@ def _trace_alpha_program(scene: DeviceScene, tracer, o, d, t_min, t_max,
         return hit
     cutoff = jnp.broadcast_to(jnp.asarray(alpha_u, jnp.float32), (R,))
 
+    # the skip test (gathers + texture fetch) runs ONCE per round: its
+    # result is carried into both the loop condition and the next body,
+    # rather than being recomputed in each
+    skip0, tmin0, _ = _alpha_skip_impl(scene, hit.t, hit.tri_id, hit.u,
+                                       hit.v, cutoff, t_min)
+
     def needs_work(carry):
-        k, t, tri_id, u, v, tmin_cur = carry
-        skip, _, any_skip = _alpha_skip_impl(scene, t, tri_id, u, v, cutoff,
-                                             tmin_cur)
-        return any_skip & (k < rounds)
+        k, t, tri_id, u, v, skip, _ = carry
+        return jnp.any(skip) & (k < rounds)
 
     def body(carry):
-        k, t, tri_id, u, v, tmin_cur = carry
-        skip, new_tmin, _ = _alpha_skip_impl(scene, t, tri_id, u, v, cutoff,
-                                             tmin_cur)
-        rehit = tracer.trace(o, d, new_tmin, t_max, any_hit=any_hit)
+        k, t, tri_id, u, v, skip, new_tmin = carry
+        # non-skipped rays re-trace with t_max=0: the kernel resolves
+        # them in zero traversal steps, so a round only costs for rays
+        # that actually passed through a transparent hit
+        re_tmax = jnp.where(skip, t_max, 0.0)
+        rehit = tracer.trace(o, d, new_tmin, re_tmax, any_hit=any_hit)
         t = jnp.where(skip, rehit.t, t)
         tri_id = jnp.where(skip, rehit.tri_id, tri_id)
         u = jnp.where(skip, rehit.u, u)
         v = jnp.where(skip, rehit.v, v)
-        return (k + 1, t, tri_id, u, v, new_tmin)
+        nskip, ntmin, _ = _alpha_skip_impl(scene, t, tri_id, u, v, cutoff,
+                                           new_tmin)
+        nskip = nskip & skip          # only re-traced rays can continue
+        return (k + 1, t, tri_id, u, v, nskip, ntmin)
 
-    carry = (jnp.int32(0), hit.t, hit.tri_id, hit.u, hit.v, t_min)
+    carry = (jnp.int32(0), hit.t, hit.tri_id, hit.u, hit.v, skip0, tmin0)
     carry = jax.lax.while_loop(needs_work, body, carry)
     from ..ops.intersect import Hit
     return Hit(carry[1], carry[2], carry[3], carry[4])
 
 
 def _alpha_skip_impl(scene, t, tri_id, u, v, cutoff, t_min):
-    from ..ops.trace_utils import _hit_alpha
+    """One tri row + one inst row + one texture block gather."""
+    from ..scene.device import (IP_ALBEDO, IP_HASALPHA, IP_TEX,
+                                IP_TEXSIZE, TP_INST, TP_UV)
+    from ..ops.shading import sample_texture_quad
     valid = tri_id >= 0
-    inst = jnp.maximum(scene.tri_instance[jnp.maximum(tri_id, 0)], 0)
-    may_skip = valid & scene.inst_has_alpha[inst]
-    alpha = _hit_alpha(scene, tri_id, u, v)
+    g = scene.tri_packed[jnp.maximum(tri_id, 0)]
+    inst = jnp.maximum(g[:, TP_INST].astype(jnp.int32), 0)
+    m = scene.inst_packed[inst]
+    may_skip = valid & (m[:, IP_HASALPHA] > 0.5)
+    b0 = (1.0 - u - v)[:, None]
+    uv = (g[:, TP_UV:TP_UV + 2] * b0 +
+          g[:, TP_UV + 2:TP_UV + 4] * u[:, None] +
+          g[:, TP_UV + 4:TP_UV + 6] * v[:, None])
+    tex_a = sample_texture_quad(
+        scene, m[:, IP_TEX].astype(jnp.int32),
+        m[:, IP_TEXSIZE:IP_TEXSIZE + 2], uv)[:, 3]
+    alpha = m[:, IP_ALBEDO + 3] * tex_a
     skip = may_skip & (alpha <= cutoff)
     new_tmin = jnp.where(skip, t * (1 + 1e-5) + 1e-6, t_min)
     return skip, new_tmin, jnp.any(skip)
