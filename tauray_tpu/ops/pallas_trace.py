@@ -48,11 +48,13 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TILE = 32
+import os as _os
+
+TILE = int(_os.environ.get("TAURAY_PTILE", "32"))
 CLUSTER = 128
-KB = 8                    # clusters per loop iteration
+KB = int(_os.environ.get("TAURAY_PKB", "8"))  # clusters per loop iteration
 BK = KB * CLUSTER
-G = 32                    # ray tiles per grid step
+G = int(_os.environ.get("TAURAY_PG", "32"))   # ray tiles per grid step
 NM = 4                    # meta ring slots
 BIG = 3.0e38
 

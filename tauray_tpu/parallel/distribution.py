@@ -17,8 +17,10 @@ from __future__ import annotations
 
 import math
 from dataclasses import dataclass
+from functools import partial
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -149,6 +151,32 @@ def device_pixel_positions(params: DistributionParams, max_count: int):
     j = np.minimum(j, w * h - 1).astype(np.int64)
     pix = np.stack([j % w, j // w], axis=-1)
     return (pix.astype(np.int32), valid, j.astype(np.int32))
+
+
+@partial(jax.jit, static_argnames=("full_shape",))
+def stitch_accumulate(full_shape, chunks, write_linear, valid, old, t):
+    """On-device stitch + accumulation for the distributed renderer
+    (reference: src/stitch_stage.cc composite on the display GPU +
+    shader/gbuffer.glsl accumulate_gbuffer_color; the re-accumulation
+    blend of src/rt_renderer.cc:178-182 folds into `t`).
+
+    chunks: (D, V, N, 4) — device-sharded partial frames; write_linear /
+    valid: (D, N); old: (V, H, W, 4) accumulation; t: scalar blend toward
+    `old` (0 = replace, prev/(prev+new) = running mean, 1-blend_ratio =
+    rebalance blend). Runs inside one jit so multi-chip partials move
+    over ICI collectives, never through the host."""
+    H, W = full_shape
+    D, V, N, C = chunks.shape
+    total = H * W
+    flat_idx = jnp.where(valid, write_linear, total).reshape(-1)
+    flat = jnp.swapaxes(chunks, 0, 1).reshape(V, D * N, C)
+    scattered = jnp.zeros((V, total + 1, C), chunks.dtype)
+    scattered = scattered.at[:, flat_idx].set(flat)
+    new = scattered[:, :total].reshape(V, H, W, C)
+    mask = jnp.zeros(total + 1, bool).at[flat_idx].set(
+        valid.reshape(-1))[:total].reshape(H, W)
+    blended = new * (1.0 - t) + old * t
+    return jnp.where(mask[None, :, :, None], blended, old)
 
 
 def stitch(full_shape, chunks, write_linear, valid, old=None,

@@ -108,6 +108,7 @@ class DistributedPathTracerRenderer(PathTracerRenderer):
         self._pix_d = jax.device_put(np.stack(pixs), shard)
         self._valid_d = jax.device_put(np.stack(valids), shard)
         self._lin = np.stack(lins)
+        self._lin_d = jnp.asarray(self._lin.astype(np.int32))
         self._valid_host = np.stack(valids)
 
     def _build_sharded_fn(self):
@@ -170,7 +171,17 @@ class DistributedPathTracerRenderer(PathTracerRenderer):
         n_passes = self.samples_per_pixel // self.samples_per_pass
         sample_base = self.samples_accumulated
         W, H, V = cfg.width, cfg.height, cfg.n_views
-        color_full = None
+        # stitch + accumulation stay on-device: partial frames move over
+        # ICI inside the jitted scatter (reference: src/stitch_stage.cc
+        # composes on the display GPU; rt_renderer.cc:164-183 blends
+        # across rebalances). The host only sees the final tonemapped
+        # frame.
+        color_full = self.accum_color
+        if color_full is None or not hasattr(color_full, "shape") or \
+                tuple(color_full.shape) != (V, H, W, 4):
+            color_full = jnp.zeros((V, H, W, 4), jnp.float32)
+        lin_d = self._lin_d
+        valid_d = self._valid_d
         for p in range(n_passes):
             prev = np.full((self.n_devices,),
                            sample_base + p * self.samples_per_pass,
@@ -178,31 +189,21 @@ class DistributedPathTracerRenderer(PathTracerRenderer):
             prev = jax.device_put(prev, NamedSharding(self.mesh, P("dev")))
             chunks = self._sharded_render(
                 self.device_scene, self.bvh, cam, prev_cam,
-                self._pix_d, self._valid_d, prev)
-            chunks = np.asarray(jax.device_get(chunks))  # (D, V, N, 4)
-            frame = np.zeros((V, H * W, 4), np.float32)
-            for d in range(self.n_devices):
-                lin = self._lin[d]
-                ok = self._valid_host[d]
-                frame[:, lin[ok]] = chunks[d][:, ok]
-            frame = frame.reshape(V, H, W, 4)
-            if color_full is None and sample_base == 0 and p == 0:
-                color_full = frame
+                self._pix_d, self._valid_d, prev)          # (D, V, N, 4)
+            prev_n = sample_base + p * self.samples_per_pass
+            if p == 0 and self._stitch_blend < 1.0:
+                t = 1.0 - self._stitch_blend
+            elif prev_n == 0:
+                t = 0.0
             else:
-                base = self.accum_color if p == 0 else color_full
-                prev_n = sample_base + p * self.samples_per_pass
-                if self._stitch_blend < 1.0 and p == 0:
-                    color_full = base * (1 - self._stitch_blend) + \
-                        frame * self._stitch_blend
-                else:
-                    color_full = np.asarray(accumulate(
-                        frame, base, float(self.samples_per_pass),
-                        float(prev_n)))
+                t = prev_n / (prev_n + self.samples_per_pass)
+            color_full = dist_mod.stitch_accumulate(
+                (H, W), chunks, lin_d, valid_d, color_full,
+                jnp.float32(t))
         self._stitch_blend = 1.0
         self.accum_color = color_full
         self.samples_accumulated = sample_base + self.samples_per_pixel
         self.accumulated_frames += 1
         self._prev_cam = cam
-        img = tonemap(jnp.asarray(color_full), opt.tonemap, opt.exposure,
-                      opt.gamma)
+        img = tonemap(color_full, opt.tonemap, opt.exposure, opt.gamma)
         return np.asarray(img)

@@ -24,10 +24,29 @@ from ..stages.tonemap import tonemap
 from .base import Renderer
 
 
+import os as _os
+
+# One fused XLA program per pass by default: the remote-TPU link costs
+# milliseconds per dispatch, and the host-orchestrated wavefront makes
+# 10+ dispatches per pass. TAURAY_HOST_WAVEFRONT=1 restores per-stage
+# dispatch (useful for per-stage profiling/debugging).
+_FUSE_PASS = _os.environ.get("TAURAY_HOST_WAVEFRONT", "0") != "1"
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _render_pass_fused(cfg: PTConfig, scene, bvh, cam, prev_cam, pix, vp,
+                       previous_samples):
+    return pt_trace_pass(cfg, scene, bvh, cam, prev_cam, pix, vp,
+                         previous_samples)
+
+
 def _render_pass(cfg: PTConfig, scene, bvh, cam, prev_cam, pix, vp,
                  previous_samples):
-    """Host-orchestrated wavefront pass (sub-programs are individually
-    jitted and cached; see stages/path_tracer.py)."""
+    """Wavefront pass (reference: one vkCmdTraceRays dispatch,
+    src/path_tracer_stage.cc)."""
+    if _FUSE_PASS:
+        return _render_pass_fused(cfg, scene, bvh, cam, prev_cam, pix, vp,
+                                  previous_samples)
     return pt_trace_pass(cfg, scene, bvh, cam, prev_cam, pix, vp,
                          previous_samples)
 

@@ -555,8 +555,13 @@ def _nee_prep(cfg: PTConfig, scene: DeviceScene, seed, alpha_seed, hit,
 
 @partial(jax.jit, static_argnames=())
 def _advance_alpha(alpha_seed):
+    import os
     a2 = rng_ops.pcg4d(alpha_seed)
-    return rng_ops.uint_to_float(a2[:, 0])
+    u = rng_ops.uint_to_float(a2[:, 0])
+    f = os.environ.get("TAURAY_ALPHA_FORCE")
+    if f is not None:
+        u = jnp.full_like(u, float(f))
+    return u
 
 
 @partial(jax.jit, static_argnames=("has_alpha", "any_hit", "rounds"))
@@ -684,7 +689,11 @@ def evaluate_ray(cfg: PTConfig, scene: DeviceScene, bvh: DeviceBVH,
         jnp.ones((R, 3), jnp.float32),        # attenuation
         z,                                    # bsdf_pdf
         jnp.ones(R, jnp.float32),             # regularization
-        z, z, z, jnp.ones(R, jnp.float32),    # primary lobes (t, d, dr, mr)
+        # primary lobes init to ZERO (reference: bsdf_lobes(0,0,0,0)) so
+        # bounce-0 emission reaches the image only via first_hit.emission,
+        # never the demodulated channels — nonzero init double-counts
+        # every primary-visible emitter
+        z, z, z, z,                           # primary lobes (t, d, dr, mr)
         jnp.ones(R, bool),                    # alive
         jnp.zeros((R, 4), jnp.float32),       # diffuse
         jnp.zeros((R, 4), jnp.float32),       # reflection
@@ -713,7 +722,7 @@ def evaluate_ray_inline(cfg: PTConfig, scene: DeviceScene, bvh,
     state = (
         sampler_seed, rng_ops.pcg4d(sampler_seed), pos, view,
         jnp.ones((R, 3), jnp.float32), z, jnp.ones(R, jnp.float32),
-        z, z, z, jnp.ones(R, jnp.float32), jnp.ones(R, bool),
+        z, z, z, z, jnp.ones(R, bool),
         jnp.zeros((R, 4), jnp.float32), jnp.zeros((R, 4), jnp.float32))
     max_bounces = 2 if cfg.direct_only else cfg.max_bounces
     first = None
