@@ -64,6 +64,44 @@ def main():
         result["value"] = round(rays_per_sec / 1e6, 2)
         result["vs_baseline"] = round(rays_per_sec / BASELINE_RAYS_PER_SEC, 4)
         result["ms_per_frame"] = round(dt * 1000, 2)
+
+        # per-stage device-time breakdown (VERDICT r1: show where the
+        # frame goes): trace = pallas traversal kernel, gather = shading
+        # table reads, sort = phase-1 front-to-back keys
+        if os.environ.get("TAURAY_BENCH_BREAKDOWN", "1") == "1":
+            try:
+                import glob
+                import shutil
+                import jax
+                prof_dir = "/tmp/tauray_bench_prof"
+                shutil.rmtree(prof_dir, ignore_errors=True)
+                rr.reset_accumulation()
+                with jax.profiler.trace(prof_dir):
+                    rr.render()
+                    np.asarray(rr.accum_color)
+                os.environ.setdefault(
+                    "PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python")
+                files = glob.glob(
+                    prof_dir + "/plugins/profile/*/*.xplane.pb")
+                from xprof.convert import raw_to_tool_data as rtd
+                out, _ = rtd.xspace_to_tool_data(
+                    files, "framework_op_stats", {})
+                d = json.loads(out if isinstance(out, str)
+                               else out.decode())
+                agg = {}
+                for r in d[0]["rows"]:
+                    c = [x.get("v") for x in r["c"]]
+                    if c[1] != "Device" or c[2] == "IDLE":
+                        continue
+                    op = str(c[2])
+                    key = ("trace" if "pallas" in op else
+                           "gather" if "gather" in op else
+                           "sort" if "sort" in op else "other")
+                    agg[key] = agg.get(key, 0.0) + float(c[7] or 0) / 1000
+                result["device_ms"] = {k: round(v, 2)
+                                       for k, v in sorted(agg.items())}
+            except Exception as e:
+                result["breakdown_error"] = f"{type(e).__name__}: {e}"
     except Exception as e:  # pragma: no cover
         result["error"] = f"{type(e).__name__}: {e}"
     print(json.dumps(result))

@@ -285,6 +285,14 @@ def main(argv: Optional[List[str]] = None) -> int:
     if not opt.scene_paths and opt.renderer != "dshgi-server":
         print(opt_mod.help_text())
         return 1
+    if getattr(opt, "stereo", 0.0) > 0.0:
+        # stereo pair = a 2x1 camera grid at eye distance (the OpenXR
+        # capability analogue for a display-less TPU host; reference:
+        # src/openxr.cc per-eye cameras)
+        opt.camera_grid.w = 2
+        opt.camera_grid.h = 1
+        opt.camera_grid.x = opt.stereo
+        opt.camera_grid.y = 0.0
     if opt.timing_output:
         logger.timing.stream = open(opt.timing_output, "w")
     if opt.validation:

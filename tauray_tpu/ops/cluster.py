@@ -147,36 +147,88 @@ def tri_opacity(tri_instance, inst_has_alpha) -> np.ndarray:
     return ~np.asarray(inst_has_alpha)[inst]
 
 
-def build_cluster_tracer(tri_pos, tri_instance, tri_opaque=None
+def build_cluster_tracer(tri_pos, tri_instance, tri_opaque=None,
+                         strategy: str = "all-merged-static",
+                         inst_dynamic=None
                          ) -> Tuple[ClusterTracer, np.ndarray]:
     """Host-side build: morton sort + clustering. Returns (tracer, perm).
 
     tri_opaque: optional (T,) bool — triangle has no alpha-capable
-    material. Folded into a per-cluster flag for any-hit early exit."""
+    material. Folded into a per-cluster flag for any-hit early exit.
+
+    strategy mirrors the reference's --as-strategy BLAS grouping
+    (reference: src/scene_stage.hh:20-26): clusters never span group
+    boundaries, so a moving group only dirties its own clusters and
+    static clusters keep bit-identical AABBs across frames:
+      * "all-merged-static"  — one global morton order (group = scene)
+      * "per-model"/"per-material" — one group per instance
+      * "static-merged-dynamic-per-model" — static instances share one
+        group, each dynamic (animated/skinned) instance gets its own;
+        inst_dynamic: (I,) bool marks the dynamic instances."""
     tri_pos = np.asarray(tri_pos)
-    valid = np.asarray(tri_instance) >= 0
+    tri_instance = np.asarray(tri_instance)
+    valid = tri_instance >= 0
     T = tri_pos.shape[0]
     centroids = tri_pos.mean(axis=1)
     sel = valid if valid.any() else np.ones(T, bool)
     lo = centroids[sel].min(axis=0)
     hi = centroids[sel].max(axis=0)
     ext = np.maximum(hi - lo, 1e-12)
+
+    # group id per triangle (invalid -> last group so they sort to the end)
+    inst = np.maximum(tri_instance, 0)
+    if strategy in ("per-model", "per-material"):
+        group = inst
+    elif strategy == "static-merged-dynamic-per-model" and \
+            inst_dynamic is not None and np.asarray(inst_dynamic).any():
+        dyn = np.asarray(inst_dynamic, bool)
+        group = np.where(dyn[inst], inst + 1, 0)
+    else:
+        group = np.zeros(T, np.int64)
+
     from ..native import morton_order as _native_morton
-    order = _native_morton(centroids, valid)
+    order = None
+    if (group == group[0]).all():
+        order = _native_morton(centroids, valid)
     if order is None:
         grid = np.clip(((centroids - lo) / ext) * 1023.0,
                        0, 1023).astype(np.uint32)
         codes = morton_3d(grid).astype(np.uint64)
-        order = np.lexsort((np.arange(T),
-                            codes + (~valid).astype(np.uint64) * (1 << 32)))
+        gkey = np.asarray(group, np.uint64) * (np.uint64(1) << 34) + \
+            (~valid).astype(np.uint64) * (np.uint64(1) << 50)
+        order = np.lexsort((np.arange(T), codes + gkey))
+
+    # cluster-align each group's range so clusters never span groups
+    gsorted = np.asarray(group)[order]
+    vsorted = valid[order]
     n_valid = int(valid.sum())
-    C = max((n_valid + CLUSTER - 1) // CLUSTER, 1)
-    total = C * CLUSTER
-    perm = np.full(total, order[0] if T else 0, dtype=np.int32)
-    n_copy = min(T, total)
-    perm[:n_copy] = order[:n_copy]
-    valid_perm = np.zeros(total, dtype=bool)
-    valid_perm[:n_valid] = True
+    if n_valid and strategy != "all-merged-static":
+        pieces = []
+        vmask = []
+        gs = gsorted[:n_valid]
+        bounds = np.flatnonzero(np.diff(gs)) + 1
+        start = 0
+        for end in list(bounds) + [n_valid]:
+            seg = order[start:end]
+            pad = (-len(seg)) % CLUSTER
+            pieces.append(seg)
+            vmask.append(np.ones(len(seg), bool))
+            if pad:
+                pieces.append(np.full(pad, seg[-1], np.int32))
+                vmask.append(np.zeros(pad, bool))
+            start = end
+        perm = np.concatenate(pieces).astype(np.int32)
+        valid_perm = np.concatenate(vmask)
+        C = len(perm) // CLUSTER
+        total = C * CLUSTER
+    else:
+        C = max((n_valid + CLUSTER - 1) // CLUSTER, 1)
+        total = C * CLUSTER
+        perm = np.full(total, order[0] if T else 0, dtype=np.int32)
+        n_copy = min(T, total)
+        perm[:n_copy] = order[:n_copy]
+        valid_perm = np.zeros(total, dtype=bool)
+        valid_perm[:n_valid] = True
 
     pos = tri_pos[perm]                                 # (C*K, 3, 3)
     if tri_opaque is not None:

@@ -109,6 +109,13 @@ def fresnel_importance(cos_d, mat):
     return jnp.where(mat.ior_in == mat.ior_out, 0.0, f)
 
 
+def fresnel_schlick_attenuated(cos_d, f0, roughness):
+    """(reference: shader/ggx.glsl fresnel_schlick_attenuated) — grazing
+    response damped by roughness, used for integrated (indirect) light."""
+    return f0 + (jnp.maximum(1.0 - roughness, f0) - f0) * \
+        jnp.maximum(1.0 - cos_d, 0.0) ** 5
+
+
 def _step(edge, x):
     return jnp.where(x >= edge, 1.0, 0.0)
 

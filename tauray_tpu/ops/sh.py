@@ -73,3 +73,67 @@ def eval_irradiance(coefficients, normal, order: int):
     # coefficients: (..., C, 3), broadcast against (..., C)
     return jnp.sum(basis[..., None] * coefficients * w[:, None],
                    axis=-2) / math.pi
+
+
+def _ggx_zh_table(order: int, n_rough: int = 64):
+    """Zonal band factors of the GGX reflection lobe per ARTIST roughness
+    (reference: shader/spherical_harmonics.glsl get_ggx_specular_lobe —
+    the reference ships a fitted curve; here the factors are projected
+    numerically: the NDF-importance reflected-direction lobe at normal
+    incidence, band l moment over band 0 moment)."""
+    import numpy as np
+    from numpy.polynomial import legendre
+    th = np.linspace(1e-4, np.pi - 1e-4, 4096)   # reflected polar angle
+    cl = np.cos(th)
+    table = np.ones((n_rough, order + 1), np.float32)
+    # high-roughness limit = the clamped-cosine band factors, low = delta
+    lo = [1.0, 2.0 / 3.0, 1.0 / 4.0, 0.0, -1.0 / 24.0]
+    for i in range(n_rough):
+        ra = max((i + 0.5) / n_rough, 1e-3)
+        a = ra * ra                   # mat.roughness
+        a2 = a * a                    # the reference's D uses a=mat.roughness
+        ch = np.cos(th / 2)
+        D = a2 / (np.pi * (ch * ch * (a2 - 1) + 1) ** 2)
+
+        def g1(c):
+            c = np.maximum(c, 1e-6)
+            return 2 * c / (c + np.sqrt(a2 + (1 - a2) * c * c))
+
+        # full specular response at normal incidence: D*G/(4 cos_l)*cos_l
+        G = g1(np.abs(cl)) * g1(1.0)
+        w = D * G / 4.0 * np.sin(th) * (cl > 0)
+        z0 = np.trapezoid(w, th)
+        for l in range(1, order + 1):
+            pl = legendre.legval(cl, [0] * l + [1])
+            v = np.trapezoid(w * pl, th) / max(z0, 1e-12)
+            table[i, l] = np.clip(v, min(lo[l], 1.0), 1.0)
+    return table
+
+
+_ZH_CACHE = {}
+
+
+def eval_ggx_specular(coefficients, ref_dir, rough_artist, order: int):
+    """Glossy radiance lookup from SH coefficients along the reflection
+    direction (reference: shader/spherical_harmonics.glsl
+    calc_sh_ggx_specular). rough_artist = sqrt(mat.roughness)."""
+    if order not in _ZH_CACHE:
+        _ZH_CACHE[order] = jnp.asarray(_ggx_zh_table(order))
+    table = _ZH_CACHE[order]
+    n_rough = table.shape[0]
+    idx = jnp.clip(rough_artist * n_rough - 0.5, 0, n_rough - 1)
+    i0 = jnp.floor(idx).astype(jnp.int32)
+    i1 = jnp.minimum(i0 + 1, n_rough - 1)
+    f = (idx - i0)[..., None]
+    zh = table[i0] * (1 - f) + table[i1] * f        # (..., order+1)
+    bands = []
+    for l in range(order + 1):
+        bands += [l] * (2 * l + 1)
+    band_idx = jnp.asarray(bands)
+    zw = zh[..., band_idx]                          # (..., C)
+    dirs = ref_dir / jnp.maximum(
+        jnp.linalg.norm(ref_dir, axis=-1, keepdims=True), 1e-30)
+    basis = sh_basis(dirs, order)
+    return jnp.maximum(
+        jnp.sum(basis[..., None] * coefficients * zw[..., None], axis=-2),
+        0.0)

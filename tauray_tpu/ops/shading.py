@@ -126,51 +126,20 @@ def get_camera_projection(cam: CameraUniforms, vp, world_pos):
 # Texture sampling
 # ---------------------------------------------------------------------------
 
-def sample_texture(scene: DeviceScene, tex_id, uv):
-    """Bilinear sample from the padded texture stack.
-
-    tex_id: (R,) i32 (negative = unbound, returns 1);
-    uv: (R, 2). REPEAT wrapping, matching the default sampler."""
-    tid = jnp.maximum(tex_id, 0)
-    size = scene.texture_size[tid].astype(jnp.float32)    # (R, 2) (w, h)
-    # repeat wrap
-    u = uv[:, 0] * size[:, 0] - 0.5
-    v = uv[:, 1] * size[:, 1] - 0.5
-    x0 = jnp.floor(u)
-    y0 = jnp.floor(v)
-    fu = (u - x0)[:, None]
-    fv = (v - y0)[:, None]
-    w = size[:, 0].astype(jnp.int32)
-    h = size[:, 1].astype(jnp.int32)
-
-    def wrap(x, n):
-        return jnp.mod(x.astype(jnp.int32), n)
-
-    x0i = wrap(x0, w)
-    x1i = wrap(x0 + 1, w)
-    y0i = wrap(y0, h)
-    y1i = wrap(y0 + 1, h)
-    tex = scene.textures
-    c00 = tex[tid, y0i, x0i].astype(jnp.float32)
-    c10 = tex[tid, y0i, x1i].astype(jnp.float32)
-    c01 = tex[tid, y1i, x0i].astype(jnp.float32)
-    c11 = tex[tid, y1i, x1i].astype(jnp.float32)
-    col = (c00 * (1 - fu) * (1 - fv) + c10 * fu * (1 - fv) +
-           c01 * (1 - fu) * fv + c11 * fu * fv) * (1.0 / 255.0)
-    return jnp.where(tex_id[:, None] >= 0, col, 1.0)
-
-
-def sample_texture_quad(scene: DeviceScene, tex_id, size, uv):
-    """Bilinear sample via the 4x4-block texture layout: ONE row gather
-    per sample instead of four texel gathers (TPU gathers are
-    row-latency-bound, so this is ~4x cheaper; scene.tex_quads is built
-    by scene/device.py build_tex_quads).
+def sample_texture_quad(scene: DeviceScene, tex_id, size, uv, block=None):
+    """Bilinear sample via the 4x4-block mip atlas: ONE row gather per
+    sample instead of four texel gathers (TPU gathers are
+    row-latency-bound; scene.tex_atlas is built by scene/device.py
+    build_tex_atlas).
 
     tex_id: (R,) i32/f32 (negative = unbound, returns 1); size: (R, 2)
-    actual (w, h); uv: (R, 2). REPEAT wrapping."""
-    tid = jnp.maximum(tex_id.astype(jnp.int32), 0)
-    w = jnp.maximum(size[:, 0], 1.0)
-    h = jnp.maximum(size[:, 1], 1.0)
+    actual (w, h) of the sampled level; block: (R, 2) atlas block offset
+    of the level (level 0 offsets live in inst/tl_packed rows; other
+    levels come from tex_meta); uv: (R, 2). REPEAT wrapping."""
+    if block is None:
+        block = jnp.zeros_like(size)
+    w = jnp.maximum(size[..., 0], 1.0)
+    h = jnp.maximum(size[..., 1], 1.0)
     u = uv[:, 0] * w - 0.5
     v = uv[:, 1] * h - 0.5
     x0 = jnp.floor(u)
@@ -181,11 +150,11 @@ def sample_texture_quad(scene: DeviceScene, tex_id, size, uv):
     hi = h.astype(jnp.int32)
     x0i = jnp.mod(x0.astype(jnp.int32), wi)
     y0i = jnp.mod(y0.astype(jnp.int32), hi)
-    px = x0i >> 1
-    py = y0i >> 1
+    px = (x0i >> 1) + block[..., 0].astype(jnp.int32)
+    py = (y0i >> 1) + block[..., 1].astype(jnp.int32)
     lx = (x0i & 1)[:, None]
     ly = (y0i & 1)[:, None]
-    blk = scene.tex_quads[tid, py, px].astype(jnp.float32)   # (R, 64)
+    blk = scene.tex_atlas[py, px].astype(jnp.float32)        # (R, 64)
     q = blk.reshape(-1, 4, 4, 4)
     # rows y0, y0+1 live at block rows (ly, ly+1), ly in {0, 1}
     rA = jnp.where(ly[..., None] == 0, q[:, 0], q[:, 1])     # (R, 4, 4)
@@ -198,6 +167,19 @@ def sample_texture_quad(scene: DeviceScene, tex_id, size, uv):
     col = (c00 * (1 - fu) * (1 - fv) + c10 * fu * (1 - fv) +
            c01 * (1 - fu) * fv + c11 * fu * fv) * (1.0 / 255.0)
     return jnp.where(tex_id[:, None] >= 0, col, 1.0)
+
+
+def sample_texture_lod(scene: DeviceScene, tex_id, uv, lod):
+    """Trilinear-ish mip sample: bilinear at round(lod) (reference mips:
+    src/texture.cc generate_mipmaps + hardware trilinear; nearest-level
+    keeps it to ONE gather). lod: (R,) float."""
+    tid = jnp.maximum(tex_id.astype(jnp.int32), 0)
+    from ..scene.device import MAX_MIPS
+    level = jnp.clip(jnp.round(lod).astype(jnp.int32), 0,
+                     scene.tex_nmips[tid] - 1)
+    meta = scene.tex_meta[tid, level].astype(jnp.float32)    # (R, 4)
+    return sample_texture_quad(scene, tex_id, meta[:, 2:4], uv,
+                               block=meta[:, 0:2])
 
 
 def inverse_srgb_correction(col):
@@ -287,7 +269,7 @@ def sample_material(scene: DeviceScene, v: VertexData
     """(reference: shader/scene.glsl sample_material). Returns material and
     vertex data with normal mapping applied. ONE inst_packed row gather +
     one block gather per sampled texture."""
-    from ..scene.device import (IP_ALBEDO, IP_CUTOFF, IP_DOUBLE,
+    from ..scene.device import (IP_ALBEDO, IP_CUTOFF, IP_DOUBLE, IP_TEXBLOCK,
                                 IP_EMISSION, IP_IOR, IP_METAL,
                                 IP_NORMAL_F, IP_ROUGH, IP_STMUL,
                                 IP_TEX, IP_TEXSIZE, IP_TRANSMIT)
@@ -297,7 +279,9 @@ def sample_material(scene: DeviceScene, v: VertexData
 
     def tex_at(slot):
         size = m[:, IP_TEXSIZE + 2 * slot:IP_TEXSIZE + 2 * slot + 2]
-        return sample_texture_quad(scene, tex[:, slot], size, v.uv)
+        blk = m[:, IP_TEXBLOCK + 2 * slot:IP_TEXBLOCK + 2 * slot + 2]
+        return sample_texture_quad(scene, tex[:, slot], size, v.uv,
+                                   block=blk)
 
     albedo = m[:, IP_ALBEDO:IP_ALBEDO + 4]
     tex_col = tex_at(0)

@@ -20,14 +20,14 @@ import jax.numpy as jnp
 
 from ..scene.device import DeviceScene
 from .intersect import RAY_MAX_DIST, Hit
-from .shading import sample_texture
 
 
 def _hit_alpha(scene: DeviceScene, tri_id, u, v):
     """albedo.a at a hit (reference: shader/rt.glsl is_material_skippable:
     albedo_factor.a * albedo_texture.a). Two row gathers + one texture
     block gather."""
-    from ..scene.device import IP_ALBEDO, IP_TEX, IP_TEXSIZE, TP_INST, TP_UV
+    from ..scene.device import (IP_ALBEDO, IP_TEX, IP_TEXBLOCK,
+                                IP_TEXSIZE, TP_INST, TP_UV)
     from .shading import sample_texture_quad
     tid = jnp.maximum(tri_id, 0)
     g = scene.tri_packed[tid]
@@ -40,7 +40,8 @@ def _hit_alpha(scene: DeviceScene, tri_id, u, v):
     a_factor = m[:, IP_ALBEDO + 3]
     tex_a = sample_texture_quad(
         scene, m[:, IP_TEX].astype(jnp.int32),
-        m[:, IP_TEXSIZE:IP_TEXSIZE + 2], uv)[:, 3]
+        m[:, IP_TEXSIZE:IP_TEXSIZE + 2], uv,
+        block=m[:, IP_TEXBLOCK:IP_TEXBLOCK + 2])[:, 3]
     return a_factor * tex_a
 
 

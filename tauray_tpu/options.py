@@ -207,6 +207,12 @@ OPTIONS: Dict[str, Opt] = {
         "assume_unchanged_reconnection_radiance": _s("bool", False),
         "assume_unchanged_temporal_visibility": _s("bool", False)}),
     # TPU-build additions (not in the reference):
+    "stereo": _s("float", 0.0,
+                 "Render a stereo camera pair with the given eye distance "
+                 "(meters) to side-by-side outputs — the file/stream "
+                 "capability analogue of the reference's OpenXR stereo "
+                 "path (reference: src/openxr.cc per-eye cameras). "
+                 "Shorthand for --camera-grid=2,1,<dist>,0.", lo=0.0),
     "mesh_shape": _s("string", "", "Device mesh shape, e.g. '8' or '4,2'. Empty = all devices, 1D."),
     "checkpoint": _s("string", "", "Path for accumulation checkpoint save/resume."),
     "preset": _s("string", "", "Load a preset config from data/presets/<name>.cfg."),

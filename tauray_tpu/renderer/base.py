@@ -26,6 +26,42 @@ class Renderer:
     def _scene_changed(self):
         pass
 
+    def device_update_frame(self, bvh, perm):
+        """Per-frame scene refresh with skinning/world-transforms on
+        DEVICE (reference: scene_stage dispatching skinning.comp +
+        pre_transform.comp each frame, src/scene_stage.cc:1543,1685).
+        Host work is limited to walking the transform hierarchy and the
+        (tiny) light tables. Returns the refit tracer; patches
+        self.device_scene in place."""
+        import os
+        if os.environ.get("TAURAY_HOST_UPDATE") == "1":
+            from ..ops.cluster import refit_cluster_tracer
+            from ..scene.device import to_device_scene
+            self.arrays.update(keep_prev=True)
+            self.device_scene = to_device_scene(
+                self.arrays, self.opt.transparent_background)
+            return refit_cluster_tracer(bvh, self.arrays.tri_pos, perm)
+        import jax.numpy as jnp
+        from ..ops.cluster import refit_cluster_tracer
+        from ..scene.device_update import (apply_frame_update,
+                                           build_geom_static,
+                                           host_frame_inputs,
+                                           update_geometry)
+        if getattr(self, "_geom_static", None) is None:
+            self._geom_static, self._has_skin = build_geom_static(
+                self.arrays)
+            self._prev_geom = None
+        self.arrays._update_lights()
+        models, normals, joints = host_frame_inputs(self.arrays)
+        g = update_geometry(self._geom_static, jnp.asarray(models),
+                            jnp.asarray(normals), jnp.asarray(joints),
+                            self._has_skin)
+        self.device_scene = apply_frame_update(
+            self.device_scene, self._geom_static, g, self._prev_geom,
+            self.arrays)
+        self._prev_geom = g
+        return refit_cluster_tracer(bvh, g.tri_pos, perm)
+
     def viewports(self) -> List[Tuple[Camera, Transformable]]:
         cams = [(e.camera, e.transform) for e in self.scene.entities
                 if e.camera is not None and e.camera_enabled]

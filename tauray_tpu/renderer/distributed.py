@@ -116,6 +116,17 @@ class DistributedPathTracerRenderer(PathTracerRenderer):
         mesh = self.mesh
         V = cfg.n_views
         F = self.fake
+        D = self.n_devices
+        # multi-view renders (camera grids / Looking Glass quilts) shard
+        # the VIEW axis across devices instead of pixels (reference:
+        # src/restir_renderer.cc:84-106 maps views to GPUs); each device
+        # renders whole frames for its view subset and the "stitch" is a
+        # concatenation
+        self.view_sharded = V >= D > 1 and self.fake == 1 and \
+            self.strategy != dist_mod.DUPLICATE
+        if self.view_sharded:
+            self._build_view_sharded_fn()
+            return
 
         def per_device(scene, bvh, cam, prev_cam, pix, valid, prev_samples):
             # local block shapes: pix (F, N, 2), valid (F, N) — one row
@@ -150,6 +161,45 @@ class DistributedPathTracerRenderer(PathTracerRenderer):
             smapped = shard_map(per_device, check_rep=False, **specs)
         self._sharded_render = jax.jit(smapped)
 
+    def _build_view_sharded_fn(self):
+        cfg = self.cfg
+        mesh = self.mesh
+        V = cfg.n_views
+        D = self.n_devices
+        W, H = cfg.width, cfg.height
+        self._vpad = -(-V // D) * D
+        vids = np.arange(self._vpad, dtype=np.int32).reshape(D, -1)
+        vids = np.minimum(vids, V - 1)
+        self._view_ids = jax.device_put(
+            vids, NamedSharding(self.mesh, P("dev")))
+        ys, xs = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+        pixf = np.stack([xs.reshape(-1), ys.reshape(-1)],
+                        axis=-1).astype(np.int32)
+        self._pix_full = jnp.asarray(pixf)
+
+        def per_device(scene, bvh, cam, prev_cam, vids_local, prev):
+            outs = []
+            N = H * W
+            for k in range(vids_local.shape[1]):
+                vp = jnp.full(N, vids_local[0, k], jnp.int32)
+                outs.append(pt_trace_pass_inline(
+                    cfg, scene, bvh, cam, prev_cam, self._pix_full, vp,
+                    jnp.full(N, prev[0], jnp.uint32)))
+            return jnp.stack(outs)[None]        # (1, V_local, N, 4)
+
+        try:
+            from jax import shard_map
+        except ImportError:
+            from jax.experimental.shard_map import shard_map
+        specs = dict(mesh=mesh,
+                     in_specs=(P(), P(), P(), P(), P("dev"), P("dev")),
+                     out_specs=P("dev"))
+        try:
+            smapped = shard_map(per_device, check_vma=False, **specs)
+        except TypeError:
+            smapped = shard_map(per_device, check_rep=False, **specs)
+        self._view_render = jax.jit(smapped)
+
     # ------------------------------------------------------------------
     def set_device_workloads(self, ratios: List[float]):
         """(reference: src/rt_renderer.cc set_device_workloads)"""
@@ -180,6 +230,25 @@ class DistributedPathTracerRenderer(PathTracerRenderer):
         if color_full is None or not hasattr(color_full, "shape") or \
                 tuple(color_full.shape) != (V, H, W, 4):
             color_full = jnp.zeros((V, H, W, 4), jnp.float32)
+        if getattr(self, "view_sharded", False):
+            for p in range(n_passes):
+                prev_n = sample_base + p * self.samples_per_pass
+                prev = jax.device_put(
+                    np.full((self.n_devices,), prev_n, np.uint32),
+                    NamedSharding(self.mesh, P("dev")))
+                chunks = self._view_render(
+                    self.device_scene, self.bvh, cam, prev_cam,
+                    self._view_ids, prev)        # (D, V_local, N, 4)
+                frame = chunks.reshape(self._vpad, H, W, 4)[:V]
+                t = 0.0 if prev_n == 0 else \
+                    prev_n / (prev_n + self.samples_per_pass)
+                color_full = color_full * t + frame * (1.0 - t)
+            self.accum_color = color_full
+            self.samples_accumulated = sample_base + self.samples_per_pixel
+            self.accumulated_frames += 1
+            self._prev_cam = cam
+            img = tonemap(color_full, opt.tonemap, opt.exposure, opt.gamma)
+            return np.asarray(img)
         lin_d = self._lin_d
         valid_d = self._valid_d
         for p in range(n_passes):

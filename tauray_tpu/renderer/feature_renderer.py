@@ -25,16 +25,14 @@ class FeatureRenderer(Renderer):
         self.bvh, self._perm = build_cluster_tracer(
             self.arrays.tri_pos, self.arrays.tri_instance,
             tri_opaque=tri_opacity(self.arrays.tri_instance,
-                                   self.arrays.inst_has_alpha))
+                                   self.arrays.inst_has_alpha),
+            strategy=self.opt.as_strategy,
+            inst_dynamic=self.arrays.inst_dynamic)
         self._prev_cam = None
 
     def update_frame(self):
         """Per-frame scene refresh (animation / camera movement)."""
-        self.arrays.update(keep_prev=True)
-        self.device_scene = to_device_scene(
-            self.arrays, self.opt.transparent_background)
-        self.bvh = refit_cluster_tracer(self.bvh, self.arrays.tri_pos,
-                                        self._perm)
+        self.bvh = self.device_update_frame(self.bvh, self._perm)
 
     def render(self) -> np.ndarray:
         vps = self.viewports()

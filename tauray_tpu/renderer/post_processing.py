@@ -49,7 +49,8 @@ class PostProcessingPipeline:
                            for _ in range(self.V)]
 
     # ------------------------------------------------------------------
-    def process(self, gbuf: Dict[str, jnp.ndarray]) -> np.ndarray:
+    def process(self, gbuf: Dict[str, jnp.ndarray],
+                cam_origin=None) -> np.ndarray:
         """gbuf fields, all (V, H, W, C): color, diffuse, reflection,
         albedo, normal, pos, screen_motion, metallic_roughness, view_z.
         Returns tonemapped (V, H, W, 4)."""
@@ -67,9 +68,12 @@ class PostProcessingPipeline:
                 diffuse = gbuf["diffuse"][v]
                 refl = gbuf["reflection"][v]
                 if self.use_svgf:
+                    co = (jnp.asarray(cam_origin[v][:3])
+                          if cam_origin is not None else None)
                     d, s, st = svgf_denoise(
                         self.svgf_params, self.svgf_state[v], diffuse, refl,
-                        motion, normal, pos, depth)
+                        motion, normal, pos, depth, cam_origin=co,
+                        roughness=gbuf["metallic_roughness"][v][..., 1])
                     self.svgf_state[v] = st
                 else:
                     from ..stages.bmfr import bmfr_denoise

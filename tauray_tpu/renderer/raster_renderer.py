@@ -31,7 +31,9 @@ class RasterRenderer(Renderer):
         self.bvh, self._perm = build_cluster_tracer(
             self.arrays.tri_pos, self.arrays.tri_instance,
             tri_opaque=tri_opacity(self.arrays.tri_instance,
-                                   self.arrays.inst_has_alpha))
+                                   self.arrays.inst_has_alpha),
+            strategy=self.opt.as_strategy,
+            inst_dynamic=self.arrays.inst_dynamic)
         self._prev_cam = None
         opt = self.opt
         self.post = PostProcessingPipeline(opt, opt.width, opt.height,
@@ -65,11 +67,7 @@ class RasterRenderer(Renderer):
                               jnp.ones(1, jnp.int32))
 
     def update_frame(self):
-        self.arrays.update(keep_prev=True)
-        self.device_scene = to_device_scene(
-            self.arrays, self.opt.transparent_background)
-        self.bvh = refit_cluster_tracer(self.bvh, self.arrays.tri_pos,
-                                        self._perm)
+        self.bvh = self.device_update_frame(self.bvh, self._perm)
         self._build_shadow_maps()
 
     def _sh_data(self):
@@ -85,18 +83,21 @@ class RasterRenderer(Renderer):
         cam = to_camera_uniforms(self.arrays.camera_uniforms(vps))
         prev_cam = self._prev_cam if self._prev_cam is not None else cam
         sh = self._sh_data()
+        from ..ops.brdf_lut import load_brdf_lut
         gbuf = render_raster(
             self.device_scene, self.bvh, cam, prev_cam, self.shadow_maps,
-            self.map_table, sh, opt.width, opt.height, len(vps),
+            self.map_table, sh, load_brdf_lut(), opt.width, opt.height,
+            len(vps),
             np.asarray(opt.ambient, np.float32), opt.min_ray_dist,
-            self.shadow_maps is not None, max(opt.pcf, 1),
+            self.shadow_maps is not None, opt.pcf,
             self.arrays.any_alpha_materials, opt.sh_order, sh is not None,
             self.arrays.environment_map is not None,
-            getattr(self.arrays, "any_blend_materials", False))
+            getattr(self.arrays, "any_blend_materials", False),
+            int(opt.pcss), float(opt.pcss_minimum_radius))
         self._prev_cam = cam
         if (self.post.use_svgf or self.post.use_bmfr or self.post.use_taa or
                 self.post.use_temporal_reprojection):
-            img = self.post.process(gbuf)
+            img = self.post.process(gbuf, cam_origin=np.asarray(cam.origin))
         else:
             img = tonemap(gbuf["color"], opt.tonemap, opt.exposure,
                           opt.gamma)

@@ -44,13 +44,15 @@ def _gbuffer_pass(scene, bvh, cam, prev_cam, width, height, min_ray_dist,
     mat, v = sample_material(scene, v)
     motion = get_camera_projection(prev_cam, vp, v.prev_pos)
     r = lambda x, C: x.reshape(H, W, C)
+    inst = jnp.where(miss, -1, v.instance_id)
     return dict(
         pos=r(v.pos, 3), normal=r(v.mapped_normal, 3), view=r(d, 3),
         albedo=r(mat.albedo, 4),
         mr=r(jnp.stack([mat.metallic, mat.roughness], -1), 2),
         transmittance=mat.transmittance.reshape(H, W),
         emission=r(mat.emission, 3),
-        motion=r(motion, 3)[..., :2], miss=miss.reshape(H, W))
+        motion=r(motion, 3)[..., :2], miss=miss.reshape(H, W),
+        inst=inst.reshape(H, W))
 
 
 class ReSTIRRenderer(Renderer):
@@ -67,7 +69,9 @@ class ReSTIRRenderer(Renderer):
         self.bvh, self._perm = build_cluster_tracer(
             self.arrays.tri_pos, self.arrays.tri_instance,
             tri_opaque=tri_opacity(self.arrays.tri_instance,
-                                   self.arrays.inst_has_alpha))
+                                   self.arrays.inst_has_alpha),
+            strategy=self.opt.as_strategy,
+            inst_dynamic=self.arrays.inst_dynamic)
         self._prev_cam = None
         self.frame_idx = 0
         nee = NEEWeights.from_options(opt, self.arrays)
@@ -81,7 +85,8 @@ class ReSTIRRenderer(Renderer):
             temporal=r.temporal_reuse,
             min_ray_dist=opt.min_ray_dist,
             bounce_mode=opt.bounce_mode,
-            max_radius=r.max_search_radius)
+            max_radius=r.max_search_radius,
+            temporal_visibility=not r.assume_unchanged_temporal_visibility)
         # GI path reservoirs (reference: restir path tracing with shift
         # mappings, restir_core.glsl; DI above covers the primary-vertex
         # direct term, GI covers bounces >= 1)
@@ -108,11 +113,7 @@ class ReSTIRRenderer(Renderer):
                                            len(self.viewports()))
 
     def update_frame(self):
-        self.arrays.update(keep_prev=True)
-        self.device_scene = to_device_scene(
-            self.arrays, self.opt.transparent_background)
-        self.bvh = refit_cluster_tracer(self.bvh, self.arrays.tri_pos,
-                                        self._perm)
+        self.bvh = self.device_update_frame(self.bvh, self._perm)
 
     def render(self) -> np.ndarray:
         opt = self.opt
@@ -129,11 +130,13 @@ class ReSTIRRenderer(Renderer):
         if self.prev_res is None:
             self.prev_res = Reservoir.empty(H, W)
             self.prev_pos = gbuf["pos"]
+            self.prev_inst = gbuf["inst"]
         di, res = restir_di_pass(
             self.device_scene, self.bvh, gbuf["pos"], gbuf["normal"],
             gbuf["view"], gbuf["albedo"], gbuf["mr"],
             gbuf["transmittance"], gbuf["motion"], self.prev_res,
-            self.prev_pos, jnp.uint32(self.frame_idx), self.cfg_key)
+            self.prev_pos, jnp.uint32(self.frame_idx), self.cfg_key,
+            gbuf_inst=gbuf["inst"], prev_inst=self.prev_inst)
         color = di + gbuf["emission"]
         if self.gi_cfg is not None:
             from ..stages.restir_gi import PathReservoir, restir_gi_pass
@@ -143,11 +146,13 @@ class ReSTIRRenderer(Renderer):
                 self.device_scene, self.bvh, gbuf["pos"], gbuf["normal"],
                 gbuf["view"], gbuf["albedo"], gbuf["mr"],
                 gbuf["transmittance"], gbuf["motion"], self.prev_gi,
-                self.prev_pos, jnp.uint32(self.frame_idx), self.gi_cfg)
+                self.prev_pos, jnp.uint32(self.frame_idx), self.gi_cfg,
+                gbuf_inst=gbuf["inst"], prev_inst=self.prev_inst)
             self.prev_gi = gres
             color = color + gi
         self.prev_res = res
         self.prev_pos = gbuf["pos"]
+        self.prev_inst = gbuf["inst"]
         self.frame_idx += 1
         if self.sh_source is not None:
             sh = self.sh_source.current_grid_data()
@@ -193,7 +198,7 @@ class ReSTIRRenderer(Renderer):
                       metallic_roughness=gbuf["mr"][None],
                       emission=gbuf["emission"][None],
                       view_z=view_z[None])
-            out = self.post.process(pp)
+            out = self.post.process(pp, cam_origin=np.asarray(cam.origin))
         else:
             out = tonemap(img, opt.tonemap, opt.exposure, opt.gamma)
         return np.asarray(jax.device_get(out))

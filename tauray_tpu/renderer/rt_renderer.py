@@ -65,7 +65,9 @@ class PathTracerRenderer(Renderer):
         self.bvh, self._perm = build_cluster_tracer(
             self.arrays.tri_pos, self.arrays.tri_instance,
             tri_opaque=tri_opacity(self.arrays.tri_instance,
-                                   self.arrays.inst_has_alpha))
+                                   self.arrays.inst_has_alpha),
+            strategy=self.opt.as_strategy,
+            inst_dynamic=self.arrays.inst_dynamic)
         self._prev_cam = None
         self.accum_color = None
         self.samples_accumulated = 0
@@ -134,11 +136,7 @@ class PathTracerRenderer(Renderer):
                          self.use_spatial_reproj)
 
     def update_frame(self):
-        self.arrays.update(keep_prev=True)
-        self.device_scene = to_device_scene(
-            self.arrays, self.opt.transparent_background)
-        self.bvh = refit_cluster_tracer(self.bvh, self.arrays.tri_pos,
-                                        self._perm)
+        self.bvh = self.device_update_frame(self.bvh, self._perm)
 
     # -- checkpoint/resume (SURVEY.md §5.4): the reference resumes via
     # deterministic seeds + --skip-frames; here the accumulation state is
@@ -258,7 +256,7 @@ class PathTracerRenderer(Renderer):
                 metallic_roughness=cat("first_metallic_roughness", 2),
                 emission=cat("first_emission", 3),
                 view_z=-view_z)
-            img = self.post.process(gbuf)
+            img = self.post.process(gbuf, cam_origin=np.asarray(cam.origin))
         else:
             img = color.reshape(V, H, W, 4)
             img = tonemap(img, self.opt.tonemap, self.opt.exposure,

@@ -204,6 +204,24 @@ class SceneArrays:
 
         # --- skinning tables ------------------------------------------------
         self._skinned = [ig.joints is not None for ig in insts]
+        # dynamic instances (animated transform chain or skinned) drive
+        # --as-strategy grouping (reference: src/scene_stage.hh:20-26)
+        animated_tf = set()
+        for e in self.scene.entities:
+            if e.animations and e.transform is not None:
+                animated_tf.add(id(e.transform))
+        dyn = []
+        for ig in insts:
+            e = self.scene.entities[ig.entity_index]
+            d = ig.joints is not None
+            t = e.transform
+            while t is not None and not d:
+                if id(t) in animated_tf:
+                    d = True
+                t = getattr(t, "parent", None)
+            dyn.append(d)
+        self.inst_dynamic = np.asarray(dyn, bool) if dyn else \
+            np.zeros(0, bool)
 
         # --- lights ----------------------------------------------------------
         self._build_lights()
@@ -238,26 +256,18 @@ class SceneArrays:
         self._dl_entities = dls
 
     def _build_textures(self):
-        from .device import build_tex_quads
+        from .device import build_tex_atlas
         texs = getattr(self.scene, "textures", [])
         if not texs:
-            self.textures = np.zeros((1, 1, 1, 4), dtype=np.uint8)
-            self.texture_size = np.ones((1, 2), dtype=np.int32)
-            self.tex_quads = build_tex_quads(self.textures,
-                                             self.texture_size)
-            return
-        max_h = max(t.shape[0] for t in texs)
-        max_w = max(t.shape[1] for t in texs)
-        stack = np.zeros((len(texs), max_h, max_w, 4), dtype=np.uint8)
+            texs = [np.zeros((1, 1, 4), np.uint8)]
         sizes = np.zeros((len(texs), 2), dtype=np.int32)
         for i, t in enumerate(texs):
-            stack[i, :t.shape[0], :t.shape[1]] = t
             sizes[i] = [t.shape[1], t.shape[0]]  # (w, h)
-        self.textures = stack
         self.texture_size = sizes
-        # 4x4-block layout for single-gather bilinear taps (built once;
-        # textures are static across frames)
-        self.tex_quads = build_tex_quads(stack, sizes)
+        # mip-mapped 4x4-block atlas (built once; textures are static):
+        # HBM scales with total texel count, not count x max-size
+        self.tex_atlas, self.tex_meta, self.tex_nmips = \
+            build_tex_atlas(texs, sizes)
 
     # ------------------------------------------------------------------
     def update(self, keep_prev: bool = False):

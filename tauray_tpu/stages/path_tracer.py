@@ -45,7 +45,7 @@ from ..ops.sampling import (create_tangent_space, from_tangent_space,
                             sample_blackman_harris_concentric_disk,
                             view_to_tangent_space)
 from ..ops.shading import (get_screen_camera_ray, interpolate_vertex,
-                           rgb_to_luminance, sample_material, sample_texture)
+                           rgb_to_luminance, sample_material)
 from ..scene.device import CameraUniforms, DeviceScene
 
 
@@ -184,7 +184,8 @@ def sample_explicit_light(cfg: PTConfig, scene: DeviceScene, rand_uint, pos):
         pdf = jnp.where(pick_point, p, pdf)
 
     if w.triangle > 0:
-        from ..scene.device import TL_EMISSION, TL_POS, TL_TEX, TL_TEXSIZE, TL_UV
+        from ..scene.device import (TL_EMISSION, TL_POS, TL_TEX,
+                                    TL_TEXBLOCK, TL_TEXSIZE, TL_UV)
         from ..ops.shading import sample_texture_quad
         lc = scene.tri_light_count
         li = jnp.clip((u[:, 2] * lc).astype(jnp.int32), 0, lc - 1)
@@ -205,7 +206,8 @@ def sample_explicit_light(cfg: PTConfig, scene: DeviceScene, rand_uint, pos):
               row[:, TL_UV + 4:TL_UV + 6] * bary[:, 2:3])
         tex = sample_texture_quad(
             scene, row[:, TL_TEX].astype(jnp.int32),
-            row[:, TL_TEXSIZE:TL_TEXSIZE + 2], uv)[:, :3]
+            row[:, TL_TEXSIZE:TL_TEXSIZE + 2], uv,
+            block=row[:, TL_TEXBLOCK:TL_TEXBLOCK + 2])[:, :3]
         c = c * tex
         l = l - cfg.min_ray_dist
         p = w.triangle * tri_pdf / jnp.maximum(lc, 1)
@@ -615,7 +617,7 @@ def _trace_alpha_program(scene: DeviceScene, tracer, o, d, t_min, t_max,
 def _alpha_skip_impl(scene, t, tri_id, u, v, cutoff, t_min):
     """One tri row + one inst row + one texture block gather."""
     from ..scene.device import (IP_ALBEDO, IP_HASALPHA, IP_TEX,
-                                IP_TEXSIZE, TP_INST, TP_UV)
+                                IP_TEXBLOCK, IP_TEXSIZE, TP_INST, TP_UV)
     from ..ops.shading import sample_texture_quad
     valid = tri_id >= 0
     g = scene.tri_packed[jnp.maximum(tri_id, 0)]
@@ -628,7 +630,8 @@ def _alpha_skip_impl(scene, t, tri_id, u, v, cutoff, t_min):
           g[:, TP_UV + 4:TP_UV + 6] * v[:, None])
     tex_a = sample_texture_quad(
         scene, m[:, IP_TEX].astype(jnp.int32),
-        m[:, IP_TEXSIZE:IP_TEXSIZE + 2], uv)[:, 3]
+        m[:, IP_TEXSIZE:IP_TEXSIZE + 2], uv,
+        block=m[:, IP_TEXBLOCK:IP_TEXBLOCK + 2])[:, 3]
     alpha = m[:, IP_ALBEDO + 3] * tex_a
     skip = may_skip & (alpha <= cutoff)
     new_tmin = jnp.where(skip, t * (1 + 1e-5) + 1e-6, t_min)

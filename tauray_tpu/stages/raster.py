@@ -16,11 +16,12 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from ..ops.ggx import BSDFLobes, add_demodulated_color, ggx_bsdf, \
-    modulate_color
+from ..ops.brdf_lut import sample_brdf_lut
+from ..ops.ggx import BSDFLobes, add_demodulated_color, \
+    fresnel_schlick_attenuated, ggx_bsdf, modulate_color
 from ..ops.sampling import (create_tangent_space, normalize,
                             to_tangent_space, view_to_tangent_space)
-from ..ops.sh import eval_irradiance
+from ..ops.sh import eval_ggx_specular, eval_irradiance
 from ..ops.shading import (get_camera_projection, get_screen_camera_ray,
                            interpolate_vertex, sample_material)
 from ..scene.device import CameraUniforms, DeviceScene
@@ -30,14 +31,16 @@ from .shadow_map import ShadowMaps, pcf_visibility
 @partial(jax.jit, static_argnames=("width", "height", "n_views",
                                    "has_shadow_maps", "pcf_samples",
                                    "has_alpha", "sh_order", "has_sh",
-                                   "has_envmap", "has_blend"))
+                                   "has_envmap", "has_blend",
+                                   "pcss_samples", "pcss_min_radius"))
 def render_raster(scene: DeviceScene, bvh, cam: CameraUniforms,
                   prev_cam: CameraUniforms, shadow_maps: Optional[ShadowMaps],
-                  map_table, sh_coefficients, width: int, height: int,
+                  map_table, sh_coefficients, brdf_lut, width: int, height: int,
                   n_views: int, ambient, min_ray_dist: float,
                   has_shadow_maps: bool, pcf_samples: int, has_alpha: bool,
                   sh_order: int = 2, has_sh: bool = False,
-                  has_envmap: bool = False, has_blend: bool = False):
+                  has_envmap: bool = False, has_blend: bool = False,
+                  pcss_samples: int = 32, pcss_min_radius: float = 0.0):
     """Returns dict of G-buffer images, each (V, H, W, C)."""
     from ..ops.trace_utils import trace_alpha
     V, H, W = n_views, height, width
@@ -77,14 +80,13 @@ def render_raster(scene: DeviceScene, bvh, cam: CameraUniforms,
             vis = jnp.ones(R, jnp.float32)
             if has_shadow_maps:
                 dir_map_ids = map_table[0]
-                # slope-scaled bias applies to directional maps too
-                # (reference: shader/shadow_mapping.glsl:290)
                 vis = pcf_visibility(
                     shadow_maps,
                     jnp.broadcast_to(dir_map_ids[i], (R,)).astype(jnp.int32),
                     v.pos, pcf_samples,
-                    ndotl=jnp.clip(jnp.sum(v.mapped_normal * ldir, -1),
-                                   0, 1))
+                    ndotl=jnp.abs(jnp.sum(v.mapped_normal * ldir, -1)),
+                    screen_xy=pix, pcss_samples=pcss_samples,
+                    pcss_minimum_radius=pcss_min_radius)
             facing = jnp.sum(v.hard_normal * ldir, -1) > 0
             vis = jnp.where(facing, vis, 0.0)
             contrib = jnp.where(active, 1.0, 0.0) * vis
@@ -116,17 +118,19 @@ def render_raster(scene: DeviceScene, bvh, cam: CameraUniforms,
                 mid = jnp.where(pt_nfaces[i] > 1, pt_base[i] + face,
                                 pt_base[i]).astype(jnp.int32)
                 vis = pcf_visibility(
-                shadow_maps, mid, v.pos, pcf_samples,
-                ndotl=jnp.clip(jnp.sum(v.mapped_normal * ldir, -1), 0, 1))
+                    shadow_maps, mid, v.pos, pcf_samples,
+                    ndotl=jnp.abs(jnp.sum(v.mapped_normal * ldir, -1)),
+                    screen_xy=pix, pcss_samples=pcss_samples,
+                    pcss_minimum_radius=pcss_min_radius)
             facing = jnp.sum(v.hard_normal * ldir, -1) > 0
             vis = jnp.where(facing, vis, 0.0)
             color = lcolor * (jnp.where(active, 1.0, 0.0) * vis)[:, None]
             diffuse, reflection = add_demodulated_color(lobes, color, diffuse,
                                                         reflection)
 
-        # indirect: SH grid irradiance or ambient fallback
-        # (reference: forward.frag eval_indirect_light; trilinear probe
-        # interpolation like shader/spherical_harmonics.glsl sh lookup)
+        # indirect: SH grid irradiance or ambient fallback, combined with
+        # the split-sum BRDF integration exactly like the reference
+        # (forward.frag eval_indirect_light + brdf_indirect)
         if has_sh:
             coef_grid, world_to_local = sh_coefficients
             local = jnp.einsum("ij,rj->ri", world_to_local[:3, :3], v.pos) + \
@@ -147,10 +151,25 @@ def render_raster(scene: DeviceScene, bvh, cam: CameraUniforms,
                              jnp.where(dy, f[:, 1], 1 - f[:, 1]) *
                              jnp.where(dz, f[:, 2], 1 - f[:, 2]))
                         coefs = coefs + coef_grid[iz, iy, ix] * w[:, None, None]
-            E = eval_irradiance(coefs, v.mapped_normal, sh_order)
-            diffuse = diffuse + jnp.maximum(E, 0.0)
+            inc_diffuse = jnp.maximum(
+                eval_irradiance(coefs, v.mapped_normal, sh_order), 0.0)
+            ref_dir = d - 2.0 * jnp.sum(d * v.mapped_normal, -1,
+                                        keepdims=True) * v.mapped_normal
+            inc_spec = jnp.maximum(eval_ggx_specular(
+                coefs, ref_dir, jnp.sqrt(mat.roughness), sh_order), 0.0)
         else:
-            diffuse = diffuse + jnp.asarray(ambient)[None, :]
+            inc_diffuse = jnp.broadcast_to(jnp.asarray(ambient)[None, :],
+                                           (R, 3))
+            inc_spec = inc_diffuse
+        # brdf_indirect (reference: forward.frag)
+        cos_v = jnp.maximum(jnp.sum(v.mapped_normal * -d, -1), 0.0)
+        f_att = fresnel_schlick_attenuated(cos_v, mat.f0, mat.roughness)
+        kd = (1.0 - f_att) * (1.0 - mat.metallic) * (1.0 - mat.transmittance)
+        diffuse = diffuse + kd[:, None] * inc_diffuse
+        bi = sample_brdf_lut(brdf_lut, cos_v, jnp.sqrt(mat.roughness))
+        spec_w = f_att * bi[..., 0] + bi[..., 1]
+        spec_w = spec_w + (1.0 - spec_w) * mat.metallic
+        reflection = reflection + inc_spec * spec_w[:, None]
 
         rgb = modulate_color(mat, diffuse, reflection) + mat.emission
         alpha = jnp.where(miss, 0.0, 1.0)

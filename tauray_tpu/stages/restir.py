@@ -178,12 +178,12 @@ def _merge(res: Reservoir, cand_strategy, cand_idx, cand_u, cand_phat,
 def restir_di_pass(scene: DeviceScene, tracer, gbuf_pos, gbuf_normal,
                    gbuf_view, gbuf_albedo, gbuf_mr, gbuf_transmittance,
                    motion, prev_res: Reservoir, prev_pos,
-                   frame_idx, cfg_key):
+                   frame_idx, cfg_key, gbuf_inst=None, prev_inst=None):
     """One full ReSTIR DI frame: canonical → temporal → spatial → shade.
     cfg_key: hashable (nee, canonical_samples, spatial_samples, passes,
     max_confidence, temporal, min_ray_dist, bounce_mode, search_radius)."""
     (nee, canonical_samples, spatial_samples, passes, max_conf, temporal,
-     min_ray_dist, bounce_mode, max_radius) = cfg_key
+     min_ray_dist, bounce_mode, max_radius) = cfg_key[:9]
     H, W = gbuf_pos.shape[:2]
     R = H * W
 
@@ -249,14 +249,39 @@ def restir_di_pass(scene: DeviceScene, tracer, gbuf_pos, gbuf_normal,
         px = jnp.round(mx).astype(jnp.int32)
         py = jnp.round(my).astype(jnp.int32)
         pr = Reservoir(*(x[py, px] for x in prev_res))
-        # geometry validity
+        # geometry validity: position delta + the prev<->cur instance id
+        # table (reference: scene_stage temporal tables,
+        # src/scene_stage.hh:241-250 — instance ids are frame-stable in
+        # this build, so the table is the identity map and validity is
+        # an id EQUALITY check through the prev-frame instance G-buffer)
         dp = gbuf_pos - prev_pos[py, px]
         ok = jnp.sum(dp * dp, -1) < 0.05
+        if gbuf_inst is not None and prev_inst is not None:
+            ok = ok & (prev_inst[py, px] == gbuf_inst)
         capM = jnp.minimum(pr.M, max_conf)
         phat_prev, _, _ = _target_phat(scene, nee, pr.strategy,
                                        pr.light_idx, pr.u, gbuf_pos,
                                        gbuf_normal, gbuf_view, mat,
                                        bounce_mode)
+        if cfg_key.temporal_visibility:
+            # validate the reused sample's visibility against the
+            # CURRENT scene (reference: restir_temporal.comp shadow ray;
+            # skipped with --restir.assume-unchanged-temporal-visibility)
+            _, tdirs, tdist, _ = _eval_light_sample(
+                scene, nee, pr.strategy, pr.light_idx, pr.u, gbuf_pos)
+            H2, W2 = gbuf_pos.shape[:2]
+            o_f = gbuf_pos.reshape(-1, 3)
+            d_f = tdirs.reshape(-1, 3)
+            safe_d = jnp.where(jnp.abs(d_f) < 1e-30,
+                               jnp.array([0.0, 0, 1.0]), d_f)
+            l_f = jnp.where(jnp.isfinite(tdist.reshape(-1)),
+                            tdist.reshape(-1) - min_ray_dist, 1e7)
+            l_f = jnp.maximum(l_f, 0.0)
+            sh = tracer.trace(o_f, safe_d,
+                              jnp.full(o_f.shape[0], min_ray_dist),
+                              l_f, any_hit=True)
+            vis = (sh.tri_id < 0).reshape(H2, W2)
+            phat_prev = jnp.where(vis, phat_prev, 0.0)
         w_prev = jnp.where(ok & (pr.strategy >= 0),
                            phat_prev * pr.W * capM, 0.0)
         seed, r3 = rng_ops.generate_uniform_random(seed)
@@ -332,3 +357,7 @@ class ReSTIRConfigKey(NamedTuple):
     min_ray_dist: float
     bounce_mode: str
     max_radius: float
+    # re-trace temporal candidates' shadow rays against the CURRENT
+    # scene unless --restir.assume-unchanged-temporal-visibility
+    # (reference: restir_temporal.comp visibility validation)
+    temporal_visibility: bool = False

@@ -378,7 +378,8 @@ class ReSTIRGIConfigKey(NamedTuple):
 def restir_gi_pass(scene: DeviceScene, tracer, gbuf_pos, gbuf_normal,
                    gbuf_view, gbuf_albedo, gbuf_mr, gbuf_transmittance,
                    motion, prev_res: PathReservoir, prev_pos, frame_idx,
-                   cfg_key: ReSTIRGIConfigKey):
+                   cfg_key: ReSTIRGIConfigKey, gbuf_inst=None,
+                   prev_inst=None):
     """One ReSTIR GI frame: canonical path gen → temporal reuse →
     spatial reuse → final shade with one visibility wave. Returns
     (indirect color (H, W, 3), reservoir)."""
@@ -434,6 +435,10 @@ def restir_gi_pass(scene: DeviceScene, tracer, gbuf_pos, gbuf_normal,
         src_pos = prev_pos[py, px].reshape(-1, 3)
         dp = gbuf_pos - prev_pos[py, px]
         ok = (jnp.sum(dp * dp, -1) < 0.05).reshape(-1)
+        if gbuf_inst is not None and prev_inst is not None:
+            # prev<->cur instance id validity (reference:
+            # src/scene_stage.hh:241-250 temporal tables)
+            ok = ok & (prev_inst[py, px] == gbuf_inst).reshape(-1)
         capM = jnp.minimum(pr.M, k.max_confidence).reshape(-1)
         phat, J, f2 = _shift(scene, tracer, rfl(_fields_of(pr)), src_pos,
                              pos, normal, view, mat, shift_cfg,

@@ -209,9 +209,67 @@ def svgf_atrous(params: SVGFParams, color6, var2, normal, depth):
     return jnp.concatenate(outs, axis=-1)
 
 
+def _lobe_similarity(axis1, rough1, axis2, rough2):
+    """Isotropic-SG specular lobe similarity (reference:
+    shader/svgf.glsl specular_lobe_similarity, approximate branch)."""
+    inv_r1 = 1.0 / jnp.maximum(rough1, 1e-3)
+    inv_r2 = 1.0 / jnp.maximum(rough2, 1e-3)
+    s1 = inv_r1 * inv_r1
+    s2 = inv_r2 * inv_r2
+    dm2 = 2.0 * s1 * s2 * jnp.sum(axis1 * axis2, -1) + s2 * s2 + s1 * s1
+    dm = jnp.sqrt(jnp.maximum(dm2, 1e-12))
+    return jnp.clip(jnp.exp2(0.7689564567938175 * (dm - s1 - s2) + 1.0) *
+                    inv_r1 * inv_r2 / dm, 0.0, 1.0)
+
+
+def svgf_hit_dist_reconstruction(specular4, normal, pos, roughness,
+                                 cam_origin):
+    """Fill zero specular hit-distances (alpha channel) from 3x3
+    neighbors weighted by plane distance + specular-lobe similarity
+    (reference: shader/svgf_hit_dist_reconstruction.comp)."""
+    H, W = specular4.shape[:2]
+    view = cam_origin[None, None, :] - pos
+    view = view / jnp.maximum(
+        jnp.linalg.norm(view, axis=-1, keepdims=True), 1e-9)
+    # reflect(view_away, n): the reference reflects the AWAY-pointing V
+    axis = 2.0 * jnp.sum(view * normal, -1, keepdims=True) * normal - view
+    rough = jnp.maximum(roughness, 0.01)
+    dist_to_cam = jnp.linalg.norm(cam_origin[None, None, :] - pos, axis=-1)
+    inv_dist = 1.0 / jnp.maximum(dist_to_cam, 1e-6)
+
+    a = specular4[..., 3]
+    w_sum = jnp.where(a != 0.0, 1.0, 0.0)
+    acc = a
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dx == 0 and dy == 0:
+                continue
+            qs = jnp.roll(specular4[..., 3], (-dy, -dx), (0, 1))
+            qp = jnp.roll(pos, (-dy, -dx), (0, 1))
+            qa = jnp.roll(axis, (-dy, -dx), (0, 1))
+            qr = jnp.roll(rough, (-dy, -dx), (0, 1))
+            w = jnp.where(qs != 0.0, 1.0, 0.0)
+            plane_d = jnp.abs(jnp.sum((qp - pos) * normal, -1))
+            w = w * jnp.where(plane_d * inv_dist < 0.005, 1.0, 0.0)
+            w = w * _lobe_similarity(axis, rough, qa, qr) ** 16.0
+            w_sum = w_sum + w
+            acc = acc + qs * w
+    recon = jnp.where(w_sum > 1e-3, acc / jnp.maximum(w_sum, 1e-3), 0.0)
+    new_a = jnp.where(a == 0.0, recon, a)
+    return jnp.concatenate([specular4[..., :3], new_a[..., None]], -1)
+
+
 def svgf_denoise(params: SVGFParams, state: SVGFState, diffuse, specular,
-                 motion, normal, pos, depth):
+                 motion, normal, pos, depth, cam_origin=None,
+                 roughness=None):
     """Full pipeline; returns (diffuse, specular, new_state)."""
+    if cam_origin is not None and specular.shape[-1] == 4:
+        # specular hit-distance reconstruction before temporal reuse
+        # (reference: svgf_stage.cc dispatch order)
+        r = roughness if roughness is not None else \
+            jnp.zeros_like(specular[..., 3]) + 0.5
+        specular = svgf_hit_dist_reconstruction(
+            specular, normal, pos, r, cam_origin)
     color, var, new_state = svgf_temporal(params, state, diffuse, specular,
                                           motion, normal, pos)
     filtered = svgf_atrous(params, color, var, normal, depth)

@@ -100,3 +100,48 @@ def test_fake_devices_multiplies_workloads():
     single.set_scene(s2)
     img_single = single.render()
     np.testing.assert_allclose(img_fake, img_single, atol=2e-3)
+
+
+def test_view_sharded_multiview_matches_single_device():
+    """Camera-grid views shard across the mesh (reference:
+    src/restir_renderer.cc:84-106 view->GPU mapping); the distributed
+    result must match a single-device render of the same views."""
+    import jax
+    import numpy as np
+    from tauray_tpu.options import Options
+    from tauray_tpu.renderer.distributed import \
+        DistributedPathTracerRenderer
+    from tauray_tpu.renderer.rt_renderer import PathTracerRenderer
+    from tauray_tpu.scene.camera import Camera
+    from tauray_tpu.scene.transformable import Transformable
+    from test_pt_radiance import _floor_scene
+
+    s = _floor_scene()
+    base = next(e for e in s.entities if e.camera is not None)
+    for k in range(7):     # 8 views total
+        e = s.add(f"cam{k}")
+        e.transform = Transformable(
+            position=np.asarray(base.transform.position) +
+            np.array([0.05 * (k + 1), 0, 0], np.float32))
+        e.camera = Camera()
+        e.camera.perspective(60, 1.0, 0.1, 100.0)
+        e.camera_enabled = True
+
+    opt = Options()
+    opt.width = opt.height = 16
+    opt.tonemap = "linear"
+    opt.max_ray_depth = 2
+    opt.distribution_strategy = "shuffled-strips"
+
+    rd = DistributedPathTracerRenderer(opt)
+    rd.set_scene(s)
+    assert rd.view_sharded, "8 views over the mesh must view-shard"
+    img_d = rd.render()
+
+    rs = PathTracerRenderer(opt)
+    rs.set_scene(s)
+    img_s = rs.render()
+    got = np.asarray(img_d)
+    want = np.asarray(img_s).reshape(got.shape)
+    assert np.allclose(got, want, rtol=1e-4, atol=1e-4), \
+        np.abs(got - want).max()

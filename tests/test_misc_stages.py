@@ -109,3 +109,28 @@ def test_svgf_reduces_noise():
     inner = (slice(8, 24), slice(8, 24))
     assert d[inner].std() < noisy[inner].std() * 0.5
     assert abs(d[inner].mean() - 0.5) < 0.05
+
+
+def test_svgf_hit_dist_reconstruction_fills_holes():
+    """Zero specular hit-distances are reconstructed from planar
+    neighbors with similar lobes (reference:
+    shader/svgf_hit_dist_reconstruction.comp)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from tauray_tpu.stages.svgf import svgf_hit_dist_reconstruction
+    H = W = 8
+    spec = np.ones((H, W, 4), np.float32) * 0.25
+    spec[..., 3] = 2.0
+    spec[4, 4, 3] = 0.0          # hole
+    normal = np.zeros((H, W, 3), np.float32)
+    normal[..., 2] = 1.0
+    ys, xs = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    pos = np.stack([xs * 0.1, ys * 0.1, np.zeros_like(xs)],
+                   -1).astype(np.float32)
+    rough = np.full((H, W), 0.3, np.float32)
+    out = np.asarray(svgf_hit_dist_reconstruction(
+        jnp.asarray(spec), jnp.asarray(normal), jnp.asarray(pos),
+        jnp.asarray(rough), jnp.asarray([0.4, 0.4, 5.0])))
+    assert abs(out[4, 4, 3] - 2.0) < 1e-3, out[4, 4, 3]
+    # rgb untouched
+    assert np.allclose(out[..., :3], spec[..., :3])
