@@ -272,9 +272,11 @@ def sample_material(scene: DeviceScene, v: VertexData
     from ..scene.device import (IP_ALBEDO, IP_CUTOFF, IP_DOUBLE, IP_TEXBLOCK,
                                 IP_EMISSION, IP_IOR, IP_METAL,
                                 IP_NORMAL_F, IP_ROUGH, IP_STMUL,
-                                IP_TEX, IP_TEXSIZE, IP_TRANSMIT)
-    inst = jnp.maximum(v.instance_id, 0)
-    m = scene.inst_packed[inst]                         # (R, IP_COLS)
+                                IP_TEX, IP_TEXSIZE, IP_TRANSMIT, TP_IP)
+    # the material constants ride in the SAME tri_packed row the vertex
+    # interpolation gathered — XLA CSEs the two gathers into one
+    tid = jnp.maximum(v.primitive_id, 0)
+    m = scene.tri_packed[tid][:, TP_IP:]                # (R, IP_COLS)
     tex = m[:, IP_TEX:IP_TEX + 4].astype(jnp.int32)
 
     def tex_at(slot):

@@ -27,16 +27,15 @@ def _hit_alpha(scene: DeviceScene, tri_id, u, v):
     albedo_factor.a * albedo_texture.a). Two row gathers + one texture
     block gather."""
     from ..scene.device import (IP_ALBEDO, IP_TEX, IP_TEXBLOCK,
-                                IP_TEXSIZE, TP_INST, TP_UV)
+                                IP_TEXSIZE, TP_IP, TP_UV)
     from .shading import sample_texture_quad
     tid = jnp.maximum(tri_id, 0)
     g = scene.tri_packed[tid]
-    inst = jnp.maximum(g[:, TP_INST].astype(jnp.int32), 0)
     b0 = (1.0 - u - v)[:, None]
     uv = (g[:, TP_UV:TP_UV + 2] * b0 +
           g[:, TP_UV + 2:TP_UV + 4] * u[:, None] +
           g[:, TP_UV + 4:TP_UV + 6] * v[:, None])
-    m = scene.inst_packed[inst]
+    m = g[:, TP_IP:]
     a_factor = m[:, IP_ALBEDO + 3]
     tex_a = sample_texture_quad(
         scene, m[:, IP_TEX].astype(jnp.int32),

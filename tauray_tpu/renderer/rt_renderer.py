@@ -112,6 +112,23 @@ class PathTracerRenderer(Renderer):
         self.use_spatial_reproj = len(self.active_views) < V
         ys, xs = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
         pix = np.stack([xs.reshape(-1), ys.reshape(-1)], axis=-1)
+        # trace rays in 8x4 PIXEL BLOCKS: a 32-ray traversal tile then
+        # covers a compact screen footprint instead of a 32x1 scanline
+        # sliver, roughly halving camera-wave cluster activations
+        # (results are un-permuted once per frame before any reshape)
+        if H % 4 == 0 and W % 8 == 0:
+            block = (ys // 4) * (W // 8) + (xs // 8)
+            within = (ys % 4) * 8 + (xs % 8)
+            order = np.argsort((block * 32 + within).reshape(-1),
+                               kind="stable")
+            pix = pix[order]
+            un = np.argsort(order, kind="stable")
+            AVn = len(self.active_views)
+            self._ray_unorder = jnp.asarray(
+                (un[None, :] + (np.arange(AVn) * H * W)[:, None])
+                .reshape(-1).astype(np.int32))
+        else:
+            self._ray_unorder = None
         pix = np.tile(pix, (len(self.active_views), 1)).astype(np.int32)
         vp = np.repeat(np.asarray(self.active_views, np.int32), H * W)
         # split the frame into multiple device calls: keeps each XLA
@@ -209,12 +226,20 @@ class PathTracerRenderer(Renderer):
         self._prev_cam = cam
         self.frame_counter += 1
 
+        # accumulation stays in ray order across passes/frames; outputs
+        # un-permute to scanline once per frame
+        if self._ray_unorder is not None:
+            color = color[self._ray_unorder]
+
         V, H, W = cfg.n_views, cfg.height, cfg.width
         AV = len(self.active_views)
         if self.use_post:
             def cat(field, C):
                 x = jnp.concatenate([getattr(o, field) for o in gchunks])
-                x = x[:self._n_rays].reshape(AV, H, W, C)
+                x = x[:self._n_rays]
+                if self._ray_unorder is not None:
+                    x = x[self._ray_unorder]
+                x = x.reshape(AV, H, W, C)
                 if AV == V:
                     return x
                 full = jnp.zeros((V, H, W, C), x.dtype)
@@ -229,11 +254,14 @@ class PathTracerRenderer(Renderer):
                 act = jnp.asarray(self.active_views)
                 color_av = color.reshape(AV, H, W, 4)
                 pos_av = jnp.concatenate(
-                    [o.first_pos for o in gchunks])[:self._n_rays] \
-                    .reshape(AV, H, W, 3)
+                    [o.first_pos for o in gchunks])[:self._n_rays]
                 inst_av = jnp.concatenate(
-                    [o.first_instance for o in gchunks])[:self._n_rays] \
-                    .reshape(AV, H, W)
+                    [o.first_instance for o in gchunks])[:self._n_rays]
+                if self._ray_unorder is not None:
+                    pos_av = pos_av[self._ray_unorder]
+                    inst_av = inst_av[self._ray_unorder]
+                pos_av = pos_av.reshape(AV, H, W, 3)
+                inst_av = inst_av.reshape(AV, H, W)
                 valid_av = inst_av >= 0
                 color_full = jnp.zeros((V, H, W, 4), color.dtype)
                 color_full = color_full.at[act].set(color_av)

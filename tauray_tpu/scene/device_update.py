@@ -164,9 +164,11 @@ def update_geometry(gs: GeomStatic, inst_model, inst_normal, joints,
 
 
 @jax.jit
-def pack_frame(gs: GeomStatic, g: GeomFrame, prev_pos) -> Tuple[Any, Any]:
+def pack_frame(gs: GeomStatic, g: GeomFrame, prev_pos,
+               inst_packed) -> Tuple[Any, Any]:
     """tri_packed + tl_packed rows from the frame geometry (device)."""
     T = g.tri_pos.shape[0]
+    inst = jnp.maximum(gs.tri_instance, 0)
     tri_packed = jnp.concatenate([
         g.tri_pos.reshape(T, 9),
         prev_pos.reshape(T, 9),
@@ -175,6 +177,7 @@ def pack_frame(gs: GeomStatic, g: GeomFrame, prev_pos) -> Tuple[Any, Any]:
         g.tri_tangent.reshape(T, 12),
         g.tri_hard_normal,
         gs.tri_instance[:, None].astype(jnp.float32),
+        inst_packed[inst],
     ], axis=1)
     tl_pos = g.tri_pos[gs.tl_tri_index]                 # (L, 3, 3)
     L = tl_pos.shape[0]
@@ -190,7 +193,8 @@ def apply_frame_update(device_scene, gs: GeomStatic, g: GeomFrame,
     are tiny) so animated lights stay correct."""
     from .device import _pack_lights
     prev_pos = prev.tri_pos if prev is not None else g.tri_pos
-    tri_packed, tl_packed, tl_pos = pack_frame(gs, g, prev_pos)
+    tri_packed, tl_packed, tl_pos = pack_frame(gs, g, prev_pos,
+                                               device_scene.inst_packed)
     pl_packed, dl_packed, _ = _pack_lights(sa)
     return device_scene._replace(
         tri_pos=g.tri_pos,

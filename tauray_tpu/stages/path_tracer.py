@@ -336,10 +336,11 @@ def _shade_bounce(cfg: PTConfig, scene: DeviceScene, state, hit, vis,
     mat = mat._replace(albedo=jnp.concatenate(
         [mat.albedo[:, :3], jnp.ones((R, 1), jnp.float32)], axis=-1))
 
-    from ..scene.device import IP_LIGHTBASE, TP_POS
+    from ..scene.device import IP_LIGHTBASE, TP_IP, TP_POS
     inst = jnp.maximum(v.instance_id, 0)
-    # row gather CSEs with sample_material's inst_packed gather
-    is_emissive_inst = scene.inst_packed[inst, IP_LIGHTBASE] >= 0
+    # from the tri_packed row (CSEs with interpolate_vertex's gather)
+    is_emissive_inst = scene.tri_packed[
+        jnp.maximum(hit.tri_id, 0), TP_IP + IP_LIGHTBASE] >= 0
 
     nee_point = jnp.zeros(R, jnp.float32)
     nee_dir = jnp.zeros(R, jnp.float32)
@@ -617,12 +618,11 @@ def _trace_alpha_program(scene: DeviceScene, tracer, o, d, t_min, t_max,
 def _alpha_skip_impl(scene, t, tri_id, u, v, cutoff, t_min):
     """One tri row + one inst row + one texture block gather."""
     from ..scene.device import (IP_ALBEDO, IP_HASALPHA, IP_TEX,
-                                IP_TEXBLOCK, IP_TEXSIZE, TP_INST, TP_UV)
+                                IP_TEXBLOCK, IP_TEXSIZE, TP_IP, TP_UV)
     from ..ops.shading import sample_texture_quad
     valid = tri_id >= 0
     g = scene.tri_packed[jnp.maximum(tri_id, 0)]
-    inst = jnp.maximum(g[:, TP_INST].astype(jnp.int32), 0)
-    m = scene.inst_packed[inst]
+    m = g[:, TP_IP:]
     may_skip = valid & (m[:, IP_HASALPHA] > 0.5)
     b0 = (1.0 - u - v)[:, None]
     uv = (g[:, TP_UV:TP_UV + 2] * b0 +
