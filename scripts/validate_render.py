@@ -51,13 +51,15 @@ def validate_render(scene, renderer, width, height, reference, tolerance,
 # Current state: path-tracer passes at ~425 (converged 64 spp carries a
 # residual ~3.5% mean deficit vs the golden, tracked in README); raster
 # sits at ~35 (PCSS soft shadows + split-sum indirect; residual is
-# penumbra-edge placement) and dshgi ~1600 — entries carry an honest interim
+# penumbra-edge placement) and dshgi ~379 — entries carry an honest interim
 # tolerance so regressions still fail while parity work continues.
 DEFAULT_TESTS = [
     ("path-tracer", 10_000, ("--samples-per-pixel=64",)),
     ("raster", 50, ()),           # reference: 1 — parity gap tracked
-    ("dshgi", 1_800, ("--warmup-frames=100",
-                      "--indirect-clamping=10")),  # reference: 10
+    ("dshgi", 450, ("--warmup-frames=100",
+                    "--indirect-clamping=10")),  # reference: 10; at ~379
+#                     after the raster/PCSS parity work — remaining gap
+#                     is the SH-probe GI term
     ("albedo", 1, ()),
     ("world-normal", 1, ()),
     ("view-normal", 1, ()),

@@ -144,29 +144,69 @@ def load_ply(path: str, scene: Optional[Scene] = None) -> Scene:
             elements.append((parts[1], int(parts[2]), []))
         elif parts[0] == "property":
             elements[-1][2].append(parts[1:])
-    if fmt != "ascii":
-        raise NotImplementedError("binary PLY not supported yet")
-    body = data[header_end:].decode("ascii").split()
-    pos = 0
+    _PLY_TYPES = {
+        "char": "i1", "int8": "i1", "uchar": "u1", "uint8": "u1",
+        "short": "i2", "int16": "i2", "ushort": "u2", "uint16": "u2",
+        "int": "i4", "int32": "i4", "uint": "u4", "uint32": "u4",
+        "float": "f4", "float32": "f4", "double": "f8", "float64": "f8"}
     verts = None
     faces = []
-    for name, count, props in elements:
-        if name == "vertex":
-            width = len(props)
-            arr = np.array(body[pos:pos + count * width], dtype=np.float32)
-            arr = arr.reshape(count, width)
-            pos += count * width
-            names = [p[-1] for p in props]
-            verts = arr[:, [names.index("x"), names.index("y"), names.index("z")]]
-        elif name == "face":
-            for _ in range(count):
-                n = int(body[pos])
-                idx = [int(x) for x in body[pos + 1:pos + 1 + n]]
-                pos += 1 + n
-                for k in range(1, n - 1):
-                    faces.append([idx[0], idx[k], idx[k + 1]])
-        else:
-            TR_WARN(f"PLY: skipping element {name}")
+    if fmt == "ascii":
+        body = data[header_end:].decode("ascii").split()
+        pos = 0
+        for name, count, props in elements:
+            if name == "vertex":
+                width = len(props)
+                arr = np.array(body[pos:pos + count * width],
+                               dtype=np.float32)
+                arr = arr.reshape(count, width)
+                pos += count * width
+                names = [p[-1] for p in props]
+                verts = arr[:, [names.index("x"), names.index("y"),
+                                names.index("z")]]
+            elif name == "face":
+                for _ in range(count):
+                    n = int(body[pos])
+                    idx = [int(x) for x in body[pos + 1:pos + 1 + n]]
+                    pos += 1 + n
+                    for k in range(1, n - 1):
+                        faces.append([idx[0], idx[k], idx[k + 1]])
+            else:
+                TR_WARN(f"PLY: skipping element {name}")
+    else:
+        # binary_little_endian / binary_big_endian (reference: the
+        # assimp fallback reads these via tinyply, src/assimp.cc)
+        bo = "<" if "little" in fmt else ">"
+        off = header_end
+        for name, count, props in elements:
+            if name == "vertex" and all(p[0] != "list" for p in props):
+                dt = np.dtype([(p[-1], bo + _PLY_TYPES[p[0]])
+                               for p in props])
+                arr = np.frombuffer(data, dtype=dt, count=count,
+                                    offset=off)
+                off += dt.itemsize * count
+                verts = np.stack([arr["x"], arr["y"], arr["z"]],
+                                 axis=-1).astype(np.float32)
+            elif name == "face":
+                # per-face list property (count + indices)
+                cnt_t = np.dtype(bo + _PLY_TYPES[props[0][1]])
+                idx_t = np.dtype(bo + _PLY_TYPES[props[0][2]])
+                for _ in range(count):
+                    n = int(np.frombuffer(data, cnt_t, 1, off)[0])
+                    off += cnt_t.itemsize
+                    idx = np.frombuffer(data, idx_t, n, off)
+                    off += idx_t.itemsize * n
+                    for k in range(1, n - 1):
+                        faces.append([int(idx[0]), int(idx[k]),
+                                      int(idx[k + 1])])
+            else:
+                # skip fixed-width elements; list-typed others unsupported
+                if any(p[0] == "list" for p in props):
+                    TR_WARN(f"PLY: cannot skip list element {name}")
+                    break
+                w = sum(np.dtype(_PLY_TYPES[p[0]]).itemsize for p in props)
+                off += w * count
+                TR_WARN(f"PLY: skipping element {name}")
     mesh = Mesh(positions=verts, indices=np.asarray(faces, dtype=np.int32),
                 name=os.path.basename(path))
     model = Model(name=os.path.basename(path))

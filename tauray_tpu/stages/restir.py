@@ -150,8 +150,17 @@ def _target_phat(scene, nee, strategy, light_idx, u, pos, normal, view,
     sl = jnp.stack([jnp.sum(dirs.reshape(-1, 3) * t, -1),
                     jnp.sum(dirs.reshape(-1, 3) * b, -1),
                     jnp.sum(dirs.reshape(-1, 3) * n, -1)], axis=-1)
-    lobes, _ = material_bsdf_pdf(sl, sview, mat, bounce_mode)
+    lobes, bpdf = material_bsdf_pdf(sl, sview, mat, bounce_mode)
     f = modulate_bsdf(mat, lobes)
+    # env samples: balance-heuristic MIS against the GI stage's
+    # BSDF-sampled env escapes (they carry the complementary weight) —
+    # without this, glossy surfaces' narrow lobes never meet
+    # light-sampled env candidates (reference: nee_mis_pdf)
+    if nee.envmap > 0:
+        env_m = strategy.reshape(-1) == 2
+        misw = jnp.abs(pdf.reshape(-1)) / jnp.maximum(
+            jnp.abs(pdf.reshape(-1)) + bpdf, 1e-9)
+        f = f * jnp.where(env_m, misw, 1.0)[:, None]
     # |pdf| resolves delta lights' negative marker
     contrib = color.reshape(-1, 3) * f / \
         jnp.maximum(jnp.abs(pdf.reshape(-1)), 1e-9)[:, None]
@@ -328,11 +337,17 @@ def restir_di_pass(scene: DeviceScene, tracer, gbuf_pos, gbuf_normal,
     sl = jnp.stack([jnp.sum(dirs.reshape(-1, 3) * t, -1),
                     jnp.sum(dirs.reshape(-1, 3) * b, -1),
                     jnp.sum(dirs.reshape(-1, 3) * n, -1)], axis=-1)
-    lobes, _ = material_bsdf_pdf(sl, sview, mat, bounce_mode)
+    lobes, bpdf = material_bsdf_pdf(sl, sview, mat, bounce_mode)
     f = modulate_bsdf(mat, lobes).reshape(H, W, 3)
     _, ldirs, ldist, lpdf = _eval_light_sample(scene, nee, res.strategy,
                                                res.light_idx, res.u,
                                                gbuf_pos)
+    if nee.envmap > 0:
+        # same env MIS weight as _target_phat (keeps shade == target)
+        env_m = res.strategy == 2
+        misw = (jnp.abs(lpdf) /
+                jnp.maximum(jnp.abs(lpdf) + bpdf.reshape(H, W), 1e-9))
+        f = f * jnp.where(env_m, misw, 1.0)[..., None]
     safe_d = jnp.where(jnp.abs(ldirs) < 1e-30, jnp.array([0.0, 0, 1.0]),
                        ldirs)
     sh = tracer.trace(gbuf_pos.reshape(-1, 3), safe_d.reshape(-1, 3),

@@ -259,7 +259,7 @@ def _reconnect_eval(scene, fields, pos, normal, view, mat, bounce_mode,
     d01 = jnp.where(surf[:, None],
                     delta / jnp.maximum(dist, 1e-9)[:, None],
                     fields["rc_pos"])
-    f0, _ = _eval_bsdf(mat, normal, view, d01, bounce_mode)
+    f0, p0 = _eval_bsdf(mat, normal, view, d01, bounce_mode)
     mat1 = _mat_from_stored(fields["rc_alb"], fields["rc_mr"],
                             (pos.shape[0],))
     f1n, _ = _eval_bsdf(mat1, fields["rc_normal"], d01,
@@ -269,9 +269,21 @@ def _reconnect_eval(scene, fields, pos, normal, view, mat, bounce_mode,
     emit1 = fields["rc_emit"] if nee.triangle <= 0 else \
         jnp.zeros_like(fields["rc_emit"])
     Lout = emit1 + f1n * fields["rc_nee_L"] + f1i * fields["rc_in_L"]
-    Lout = jnp.where(surf[:, None], Lout, fields["rc_emit"])
+    # env escapes: MIS against DI's env light sampling (balance
+    # heuristic between the BSDF pdf here and the env NEE pdf) — on
+    # glossy surfaces the light-sampled DI reservoirs alone cannot
+    # capture the narrow lobe (reference: path_tracer.glsl bsdf_mis_pdf
+    # applied to escaped rays)
+    env_emit = fields["rc_emit"]
+    if nee.envmap > 0:
+        _, env_pdf = environment_radiance(scene, d01, True)
+        wsum = nee.point + nee.triangle + nee.envmap + nee.directional
+        p_nee = env_pdf * (nee.envmap / jnp.maximum(wsum, 1e-9))
+        misw = p0 / jnp.maximum(p0 + p_nee, 1e-9)
+        env_emit = env_emit * misw[:, None]
+    Lout = jnp.where(surf[:, None], Lout, env_emit)
     C = f0 * Lout
-    keep = surf | (env if nee.envmap <= 0 else jnp.zeros_like(env))
+    keep = surf | env
     return jnp.where(keep[:, None], C, 0.0)
 
 

@@ -178,3 +178,41 @@ def test_restir_temporal_camera_motion_unbiased():
     static = run(False)[4:12, 4:12, :3].mean()
     assert abs(moving - static) / max(static, 1e-9) < 0.25, \
         (moving, static)
+
+
+@pytest.mark.parametrize("shift", ["reconnection-shift", "hybrid-shift",
+                                   "random-replay-shift"])
+def test_restir_gi_glossy_matches_pt(shift):
+    """Shift-mapping Jacobians under a GLOSSY secondary surface
+    (VERDICT r1 weak #6): a rough-metal floor under a constant furnace
+    env. The reconnection Jacobian |cos| / d^2 terms and the replay
+    RNG-stream reuse must both land on the PT result."""
+    import jax.numpy as jnp
+    from tauray_tpu.scene.material import Material
+    L, albedo = 1.2, 0.7
+    s = _floor_scene(intensity=0.0, albedo=albedo)
+    # make the floor glossy metal (roughness 0.35 artist)
+    s.entities[0].model.groups[0].mat = Material(
+        albedo_factor=np.array([albedo, albedo, albedo, 1], np.float32),
+        metallic_factor=1.0, roughness_factor=0.35, double_sided=True)
+    e = s.add("env")
+    e.environment_map = EnvironmentMap(
+        image=np.full((8, 16, 3), L, np.float32))
+
+    img = _restir_render(s, frames=8, **{"restir.shift-mapping-type": shift})
+
+    # PT ground truth on the same scene
+    from tauray_tpu.renderer.rt_renderer import PathTracerRenderer
+    from tauray_tpu.options import Options
+    opt = Options()
+    opt.width = opt.height = 16
+    opt.tonemap = "linear"
+    opt.max_ray_depth = 2
+    opt.samples_per_pixel = 256
+    rr = PathTracerRenderer(opt)
+    rr.set_scene(s)
+    ref = rr.render()[0]
+
+    got = img[6:10, 6:10, :3].mean()
+    want = np.asarray(ref)[6:10, 6:10, :3].mean()
+    assert abs(got - want) / max(want, 1e-9) < 0.2, (got, want)

@@ -105,3 +105,29 @@ def test_checkpoint_roundtrip(tmp_path):
     assert rr2.load_checkpoint(p)
     assert rr2.samples_accumulated == 7
     assert np.asarray(rr2.accum_color).shape == (16, 4)
+
+
+def test_binary_ply_roundtrip(tmp_path):
+    """Binary little-endian PLY loads like its ASCII twin (reference:
+    assimp/tinyply fallback, src/assimp.cc)."""
+    import struct
+    import numpy as np
+    from tauray_tpu.io.assimp_like import load_ply
+    verts = np.array([[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0]],
+                     np.float32)
+    faces = [[0, 1, 2], [0, 2, 3]]
+    p = tmp_path / "quad.ply"
+    with open(p, "wb") as f:
+        f.write(b"ply\nformat binary_little_endian 1.0\n")
+        f.write(b"element vertex 4\nproperty float x\nproperty float y\n"
+                b"property float z\n")
+        f.write(b"element face 2\n"
+                b"property list uchar int vertex_indices\nend_header\n")
+        f.write(verts.astype("<f4").tobytes())
+        for fa in faces:
+            f.write(struct.pack("<B3i", 3, *fa))
+    s = load_ply(str(p))
+    m = s.entities[0].model.groups[0].mesh
+    assert m.positions.shape == (4, 3)
+    assert m.indices.shape == (2, 3)
+    assert np.allclose(m.positions, verts)
