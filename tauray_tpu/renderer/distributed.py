@@ -74,7 +74,17 @@ class DistributedPathTracerRenderer(PathTracerRenderer):
             cap = min(self.max_count,
                       -(-(4 * opt.width * opt.height) // (128 * D)) * 128)
             self.max_count = cap
-        self.workloads = [1.0 / D] * D
+        # --workload: initial per-device ratios (reference: options.hh
+        # workload + rt_renderer.cc initial distribution); normalized,
+        # padded with the mean for missing devices
+        wl = list(getattr(opt, "workload", []) or [])[:D]
+        if wl and any(w > 0 for w in wl):
+            wl = [max(float(w), 0.0) for w in wl]
+            wl += [sum(wl) / len(wl)] * (D - len(wl))
+            tot = sum(wl)
+            self.workloads = [w / tot for w in wl]
+        else:
+            self.workloads = [1.0 / D] * D
         self.accumulated_frames = 0
         self._stitch_blend = 1.0
         self._refresh_distribution()

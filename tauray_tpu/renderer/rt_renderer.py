@@ -102,7 +102,8 @@ class PathTracerRenderer(Renderer):
             direct_only=self.direct_only,
             rng_seed=opt.rng_seed,
             has_alpha_materials=self.arrays.any_alpha_materials,
-            sampler=opt.sampler)
+            sampler=opt.sampler,
+            count_rays=_os.environ.get("TAURAY_COUNT_RAYS", "0") == "1")
         V, H, W = self.cfg.n_views, opt.height, opt.width
         # sparse viewport rendering for light fields: only the viewports in
         # --spatial-reprojection are traced; the rest are reprojected
@@ -134,8 +135,14 @@ class PathTracerRenderer(Renderer):
         # split the frame into multiple device calls: keeps each XLA
         # program short (the remote TPU watchdog kills long kernels) and
         # doubles as the reference's pass batching for progress reporting
-        # (reference: src/rt_stage.hh max_passes_per_command_buffer)
-        self.rays_per_call = min(65536, pix.shape[0])
+        # (reference: src/rt_stage.hh max_passes_per_command_buffer).
+        # samples_per_pass batches into the wave (pt_trace_pass), so the
+        # pixel count per call shrinks to keep waves near the cap: big
+        # enough to amortize fixed costs, small enough for HBM headroom.
+        wave_cap = int(_os.environ.get("TAURAY_WAVE_CAP", str(1 << 20)))
+        per_call = max(8192, (wave_cap // max(self.samples_per_pass, 1))
+                       // 8192 * 8192)
+        self.rays_per_call = min(65536, per_call, pix.shape[0])
         R = pix.shape[0]
         padr = (-R) % self.rays_per_call
         if padr:
@@ -198,6 +205,7 @@ class PathTracerRenderer(Renderer):
         n_chunks = self._pix.shape[0] // self.rays_per_call
         color = None
         gchunks = []
+        useful = None
         for p in range(n_passes):
             prev = jnp.uint32(sample_base + p * self.samples_per_pass)
             chunks = []
@@ -209,6 +217,9 @@ class PathTracerRenderer(Renderer):
                                    prev_cam, self._pix[s], self._vp[s],
                                    prev_arr)
                 chunks.append(out.color)
+                if out.useful_rays is not None:
+                    useful = out.useful_rays if useful is None \
+                        else useful + out.useful_rays
                 if self.use_post and p == n_passes - 1:
                     gchunks.append(out)
             pass_color = jnp.concatenate(chunks)[:self._n_rays]
@@ -223,6 +234,7 @@ class PathTracerRenderer(Renderer):
         self.accum_color = color
         self.samples_accumulated = sample_base + self.samples_per_pixel
         self._last_out = out
+        self.last_useful_rays = useful  # device scalar or None
         self._prev_cam = cam
         self.frame_counter += 1
 

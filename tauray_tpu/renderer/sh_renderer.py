@@ -85,8 +85,8 @@ class SHRenderer:
             seed, u = rng_ops.generate_uniform_random(seed)
             dirs = sample_sphere(u[:, :2])
             origins = jnp.asarray(np.repeat(probes, S, axis=0))
-            diffuse, refl, fh = evaluate_ray(cfg, scene, tracer, seed,
-                                             origins, dirs)
+            diffuse, refl, fh, _ = evaluate_ray(cfg, scene, tracer, seed,
+                                                origins, dirs)
             from ..scene.device import to_camera_uniforms
             cam = to_camera_uniforms(
                 arrays.camera_uniforms(host_renderer.viewports()))

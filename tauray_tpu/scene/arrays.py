@@ -66,6 +66,8 @@ class SceneArrays:
         self.force_double_sided = bool(opt and opt.force_double_sided)
         self.force_single_sided = bool(opt and opt.force_single_sided)
         self.alpha_to_transmittance = bool(opt and opt.alpha_to_transmittance)
+        self.transmittance_to_alpha = float(
+            opt.transmittance_to_alpha) if opt is not None else -1.0
         self.gather_emissive = True
         if opt is not None and opt.sample_emissive_triangles <= 0:
             self.gather_emissive = False
@@ -105,6 +107,19 @@ class SceneArrays:
             m.double_sided = True
         elif self.force_single_sided and m.transmittance <= 0:
             m.double_sided = False
+        # --alpha-to-transmittance / --transmittance-to-alpha material
+        # rewrites (reference: src/tauray.cc:154-177)
+        if self.alpha_to_transmittance:
+            a = float(np.asarray(m.albedo_factor).reshape(-1)[3])
+            if a < 1.0:
+                m.albedo_factor = np.array(m.albedo_factor, np.float32)
+                m.transmittance = 1.0 - a
+                m.albedo_factor[3] = 1.0
+        elif self.transmittance_to_alpha >= 0.0:
+            mixf = 1.0 + (self.transmittance_to_alpha - 1.0) * \
+                float(m.transmittance)
+            m.albedo_factor = np.asarray(
+                m.albedo_factor, np.float32) * np.float32(mixf)
         return m
 
     def _build_static(self):

@@ -94,7 +94,10 @@ TP_IP = 49          # 49:49+IP_COLS — the instance's inst_packed row,
 #                     denormalized per triangle so one tri_packed gather
 #                     serves vertex AND material constants (gathers are
 #                     row-latency-bound; the duplicate row is cheap HBM)
-TP_COLS = 49 + 40
+# 49 + 40 = 89 live columns, padded to a multiple of 8 so rows are
+# sublane-aligned (a ragged row width pushed XLA's layout assignment to a
+# transposed {0,1} tiling, which made every row gather strided)
+TP_COLS = 96
 
 # inst_packed column layout
 IP_ALBEDO = 0       # 0:4
@@ -119,7 +122,8 @@ IP_COLS = 40
 def _pack_triangles(sa: SceneArrays) -> np.ndarray:
     T = sa.tri_pos.shape[0]
     out = np.zeros((T, TP_COLS), np.float32)
-    out[:, TP_IP:] = _pack_instances(sa)[np.maximum(sa.tri_instance, 0)]
+    out[:, TP_IP:TP_IP + IP_COLS] = \
+        _pack_instances(sa)[np.maximum(sa.tri_instance, 0)]
     out[:, TP_POS:TP_POS + 9] = sa.tri_pos.reshape(T, 9)
     out[:, TP_PREV:TP_PREV + 9] = sa.tri_pos_prev.reshape(T, 9)
     out[:, TP_NORMAL:TP_NORMAL + 9] = sa.tri_normal.reshape(T, 9)

@@ -169,6 +169,7 @@ def pack_frame(gs: GeomStatic, g: GeomFrame, prev_pos,
     """tri_packed + tl_packed rows from the frame geometry (device)."""
     T = g.tri_pos.shape[0]
     inst = jnp.maximum(gs.tri_instance, 0)
+    from .device import IP_COLS, TP_IP
     tri_packed = jnp.concatenate([
         g.tri_pos.reshape(T, 9),
         prev_pos.reshape(T, 9),
@@ -178,6 +179,8 @@ def pack_frame(gs: GeomStatic, g: GeomFrame, prev_pos,
         g.tri_hard_normal,
         gs.tri_instance[:, None].astype(jnp.float32),
         inst_packed[inst],
+        # sublane-alignment padding up to TP_COLS (see device.py)
+        jnp.zeros((T, TP_COLS - TP_IP - IP_COLS), jnp.float32),
     ], axis=1)
     tl_pos = g.tri_pos[gs.tl_tri_index]                 # (L, 3, 3)
     L = tl_pos.shape[0]

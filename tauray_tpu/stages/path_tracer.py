@@ -77,6 +77,7 @@ class PTConfig:
     rng_seed: int = 0
     has_alpha_materials: bool = False
     sampler: str = "uniform-random"    # | sobol-owen | sobol-z2 | sobol-z3
+    count_rays: bool = False           # emit useful-ray (alive-lane) counts
 
 
 class PTOutput(NamedTuple):
@@ -90,6 +91,7 @@ class PTOutput(NamedTuple):
     first_instance: jnp.ndarray    # (R,) i32
     first_metallic_roughness: jnp.ndarray  # (R, 2)
     first_emission: jnp.ndarray    # (R, 3)
+    useful_rays: Optional[jnp.ndarray] = None  # scalar, cfg.count_rays
 
 
 def draw_ray_sample(cfg: PTConfig, seed, coord, slot: int):
@@ -659,6 +661,7 @@ def _run_bounce(cfg: PTConfig, scene: DeviceScene, tracer, state, b_idx,
     t_max = jnp.where(alive, RAY_MAX_DIST, 0.0)
     hit = host_trace_alpha(scene, tracer, pos, view, t_min, t_max,
                            alpha_u, cfg.has_alpha_materials)
+    useful = jnp.sum(t_max > 0.0) if cfg.count_rays else None
     if cfg.nee.any and int(b_idx) < max_bounces - 1:
         slot = -1 if sobol_bounce < 0 else sobol_bounce * 2
         sh_o, sh_d, sh_len, nee_alpha_u = _nee_prep(
@@ -668,11 +671,14 @@ def _run_bounce(cfg: PTConfig, scene: DeviceScene, tracer, state, b_idx,
                               sh_len, nee_alpha_u, cfg.has_alpha_materials,
                               any_hit=True)
         vis = jnp.where(sh.tri_id < 0, 1.0, 0.0)
+        if cfg.count_rays:
+            useful = useful + jnp.sum(sh_len > 0.0)
     else:
         vis = jnp.ones(R, jnp.float32)
-    return _get_shade_jit()(cfg, scene, state, hit, vis,
-                            jnp.int32(b_idx), is_first, max_bounces,
-                            coord, sobol_bounce)
+    state, first = _get_shade_jit()(cfg, scene, state, hit, vis,
+                                    jnp.int32(b_idx), is_first, max_bounces,
+                                    coord, sobol_bounce)
+    return state, first, useful
 
 
 def evaluate_ray(cfg: PTConfig, scene: DeviceScene, bvh: DeviceBVH,
@@ -703,16 +709,18 @@ def evaluate_ray(cfg: PTConfig, scene: DeviceScene, bvh: DeviceBVH,
     )
     max_bounces = 2 if cfg.direct_only else cfg.max_bounces
 
-    state, first = _run_bounce(cfg, scene, bvh, state, 0, True, max_bounces,
-                               coord)
+    state, first, useful = _run_bounce(cfg, scene, bvh, state, 0, True,
+                                       max_bounces, coord)
     for b_idx in range(1, max_bounces):
         # no host-side alive check: it would block the async dispatch
         # pipeline; dead rays are masked inside the programs
-        state, _ = _run_bounce(cfg, scene, bvh, state, b_idx, False,
-                               max_bounces, coord)
+        state, _, u = _run_bounce(cfg, scene, bvh, state, b_idx, False,
+                                  max_bounces, coord)
+        if cfg.count_rays:
+            useful = useful + u
     diffuse = state[-2]
     reflection = state[-1]
-    return diffuse, reflection, first
+    return diffuse, reflection, first, useful
 
 
 def evaluate_ray_inline(cfg: PTConfig, scene: DeviceScene, bvh,
@@ -773,28 +781,33 @@ def evaluate_ray_inline(cfg: PTConfig, scene: DeviceScene, bvh,
 def pt_trace_pass_inline(cfg: PTConfig, scene: DeviceScene, bvh,
                         cam: CameraUniforms, prev_cam: CameraUniforms,
                         pix_pos, vp, previous_samples):
-    """Jittable single-pass color (multi-chip path); averages
-    samples_per_pass samples like pt_trace_pass."""
+    """Jittable single-pass color (multi-chip path); same wave batching
+    as pt_trace_pass — all samples_per_pass samples in ONE wavefront."""
     R = pix_pos.shape[0]
-    sum_color = jnp.zeros((R, 3), jnp.float32)
-    first = None
-    for i in range(cfg.samples_per_pass):
-        seed, origin, d, coord = _begin_sample(cfg, cam, pix_pos, vp,
-                                               previous_samples + i)
-        diffuse, refl, fh = evaluate_ray_inline(cfg, scene, bvh, seed,
-                                                origin, d, coord)
-        color, _ = _finalize_sample(
-            cfg, prev_cam, vp, diffuse, refl, fh["albedo"], fh["metallic"],
-            fh["emission"], fh["vertex_prev_pos"])
-        sum_color = sum_color + color
-        if first is None:
-            first = fh
-    sum_color = sum_color / cfg.samples_per_pass
+    S = cfg.samples_per_pass
+    if S == 1:
+        pix_b, vp_b, prev_b = pix_pos, vp, previous_samples
+    else:
+        pix_b = jnp.repeat(pix_pos, S, axis=0)
+        vp_b = jnp.repeat(vp, S, axis=0)
+        prev_b = jnp.repeat(previous_samples, S, axis=0) + \
+            jnp.tile(jnp.arange(S, dtype=previous_samples.dtype), R)
+    seed, origin, d, coord = _begin_sample(cfg, cam, pix_b, vp_b, prev_b)
+    diffuse, refl, fh = evaluate_ray_inline(cfg, scene, bvh, seed,
+                                            origin, d, coord)
+    color, _ = _finalize_sample(
+        cfg, prev_cam, vp_b, diffuse, refl, fh["albedo"], fh["metallic"],
+        fh["emission"], fh["vertex_prev_pos"])
+    if S > 1:
+        color = color.reshape(R, S, 3).mean(axis=1)
+        alpha0 = fh["albedo"][::S, 3]
+    else:
+        alpha0 = fh["albedo"][:, 3]
     if cfg.transparent_background:
-        alpha = first["albedo"][:, 3]
+        alpha = alpha0
     else:
         alpha = jnp.ones(R, jnp.float32)
-    return jnp.concatenate([sum_color, alpha[:, None]], axis=-1)
+    return jnp.concatenate([color, alpha[:, None]], axis=-1)
 
 
 def _film_offset(cfg: PTConfig, seed):
@@ -874,33 +887,47 @@ def pt_trace_pass(cfg: PTConfig, scene: DeviceScene, bvh: DeviceBVH,
                   cam: CameraUniforms, prev_cam: CameraUniforms,
                   pix_pos, vp, previous_samples) -> PTOutput:
     """One pass of `samples_per_pass` samples per pixel, averaged
-    (reference: shader/path_tracer.rgen main). Host-orchestrated wavefront;
-    every jitted sub-program is shared across samples and bounces."""
+    (reference: shader/path_tracer.rgen main).
+
+    WAVE BATCHING: all `samples_per_pass` samples trace as ONE wavefront
+    of R*S rays (pixel-major interleave, so a 32-ray traversal tile covers
+    only ceil(32/S) adjacent pixels of camera rays — a tighter footprint
+    than one-sample waves). Large waves amortize the per-dispatch link
+    latency and every per-wave fixed cost (phase-1 cull, sorts, gather op
+    overhead) across S samples; results are bit-identical to the
+    sample-at-a-time loop because every RNG stream is keyed on
+    (pixel, viewport, sample index), never on wave shape."""
     R = pix_pos.shape[0]
-    sum_color = jnp.zeros((R, 3), jnp.float32)
-    sum_diffuse = jnp.zeros((R, 4), jnp.float32)
-    sum_reflection = jnp.zeros((R, 4), jnp.float32)
-    first = None
+    S = cfg.samples_per_pass
+    if S == 1:
+        pix_b, vp_b, prev_b = pix_pos, vp, previous_samples
+    else:
+        pix_b = jnp.repeat(pix_pos, S, axis=0)
+        vp_b = jnp.repeat(vp, S, axis=0)
+        prev_b = jnp.repeat(previous_samples, S, axis=0) + \
+            jnp.tile(jnp.arange(S, dtype=previous_samples.dtype), R)
 
-    for i in range(cfg.samples_per_pass):
-        seed, origin, d, coord = _begin_sample(cfg, cam, pix_pos, vp,
-                                               previous_samples + i)
-        diffuse, refl, fh = evaluate_ray(cfg, scene, bvh, seed, origin, d,
-                                         coord)
-        color, screen_motion = _finalize_sample(
-            cfg, prev_cam, vp, diffuse, refl, fh["albedo"], fh["metallic"],
-            fh["emission"], fh["vertex_prev_pos"])
-        sum_color = sum_color + color
-        sum_diffuse = sum_diffuse + diffuse
-        sum_reflection = sum_reflection + refl
-        if first is None:
-            first = fh
-            first_motion = screen_motion
+    seed, origin, d, coord = _begin_sample(cfg, cam, pix_b, vp_b, prev_b)
+    diffuse, refl, fh, useful = evaluate_ray(cfg, scene, bvh, seed, origin,
+                                             d, coord)
+    color, screen_motion = _finalize_sample(
+        cfg, prev_cam, vp_b, diffuse, refl, fh["albedo"], fh["metallic"],
+        fh["emission"], fh["vertex_prev_pos"])
 
-    inv = 1.0 / cfg.samples_per_pass
-    sum_color = sum_color * inv
-    sum_diffuse = sum_diffuse * inv
-    sum_reflection = sum_reflection * inv
+    if S == 1:
+        sum_color, sum_diffuse, sum_reflection = color, diffuse, refl
+        first, first_motion = fh, screen_motion
+    else:
+        def mean_s(x):
+            return x.reshape(R, S, -1).mean(axis=1)
+
+        sum_color = mean_s(color)
+        sum_diffuse = mean_s(diffuse)
+        sum_reflection = mean_s(refl)
+        # first-hit G-buffer comes from sample 0, matching the
+        # sample-at-a-time loop (sample 0 of pixel r sits at row r*S)
+        first = {k: v[::S] for k, v in fh.items()}
+        first_motion = screen_motion[::S]
 
     if cfg.transparent_background:
         alpha = first["albedo"][:, 3]
@@ -918,7 +945,8 @@ def pt_trace_pass(cfg: PTConfig, scene: DeviceScene, bvh: DeviceBVH,
         first_instance=first["instance_id"],
         first_metallic_roughness=jnp.stack(
             [first["metallic"], first["roughness"]], axis=-1),
-        first_emission=first["emission"])
+        first_emission=first["emission"],
+        useful_rays=useful)
 
 
 def accumulate(new, prev, samples, previous_samples):
