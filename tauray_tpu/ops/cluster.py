@@ -52,7 +52,7 @@ TILE_CHUNK = int(_os.environ.get("TAURAY_TILE_CHUNK", "64"))
 class ClusterTracer:
     def __init__(self, v0, e1, e2, tri_valid, to_orig, cmin, cmax,
                  n_clusters: int, tris9=None, tvalid_f=None, opaque=None,
-                 tris_flat=None):
+                 tris_flat=None, alpha_base: Optional[int] = None):
         # (C, CLUSTER, 3) triangle blocks in cluster-major layout
         self.v0 = v0
         self.e1 = e1
@@ -71,16 +71,23 @@ class ClusterTracer:
         self.opaque = opaque
         # (C*CLUSTER, 9) [v0|e1|e2] rows for the barycentric post-pass
         self.tris_flat = tris_flat
+        # first slot index of the alpha-capable triangle range:
+        # build_cluster_tracer segregates alpha-capable triangles into the
+        # TAIL clusters, so "might be transparent" is the arithmetic test
+        # slot_id >= alpha_base — no per-hit material gather needed
+        self.alpha_base = (n_clusters * CLUSTER if alpha_base is None
+                           else alpha_base)
 
     def tree_flatten(self):
         return ((self.v0, self.e1, self.e2, self.tri_valid, self.to_orig,
                  self.cmin, self.cmax, self.tris9, self.tvalid_f,
                  self.opaque, self.tris_flat),
-                (self.n_clusters,))
+                (self.n_clusters, self.alpha_base))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children[:7], aux[0], *children[7:])
+        return cls(*children[:7], aux[0], *children[7:],
+                   alpha_base=aux[1])
 
     def with_pallas_layout(self):
         C = self.n_clusters
@@ -97,12 +104,25 @@ class ClusterTracer:
         return ClusterTracer(self.v0, self.e1, self.e2, self.tri_valid,
                              self.to_orig, self.cmin, self.cmax,
                              self.n_clusters, tris9, tvalid_f, self.opaque,
-                             tris_flat)
+                             tris_flat, alpha_base=self.alpha_base)
 
     # ------------------------------------------------------------------
     def trace(self, origins, dirs, t_min, t_max, any_hit: bool = False,
               sort_rays: Optional[bool] = None) -> Hit:
-        """sort_rays: reorder rays by (direction octant, origin Morton)
+        return self.trace_flagged(origins, dirs, t_min, t_max,
+                                  any_hit=any_hit, sort_rays=sort_rays)[0]
+
+    def trace_flagged(self, origins, dirs, t_min, t_max,
+                      any_hit: bool = False,
+                      sort_rays: Optional[bool] = None
+                      ) -> Tuple[Hit, jnp.ndarray]:
+        """Like trace(), and additionally returns (R,) bool marking hits
+        on alpha-capable (stochastic-transparency) triangles. The flag is
+        slot_id >= alpha_base — pure arithmetic, zero gathers — because
+        build_cluster_tracer packs alpha-capable triangles into the tail
+        clusters.
+
+        sort_rays: reorder rays by (direction octant, origin Morton)
         before tiling. Default: off on the pallas path — its front-to-back
         early exit makes the sort's coherence gain smaller than the
         argsort+gather cost — and on for the XLA fallback, whose lockstep
@@ -137,8 +157,9 @@ class ClusterTracer:
         else:
             hit = tracefn(self, o, d, t_min, t_max, any_hit)
         t, tid, u, v = (x[:R] for x in hit)
+        alpha_flag = tid >= self.alpha_base
         tid = jnp.where(tid >= 0, self.to_orig[jnp.maximum(tid, 0)], -1)
-        return Hit(t, tid, u, v)
+        return Hit(t, tid, u, v), alpha_flag
 
 
 def tri_opacity(tri_instance, inst_has_alpha) -> np.ndarray:
@@ -186,23 +207,36 @@ def build_cluster_tracer(tri_pos, tri_instance, tri_opaque=None,
     else:
         group = np.zeros(T, np.int64)
 
+    # alpha-capable triangles are segregated into the TAIL clusters
+    # (alpha is the MAJOR sort key): "might this hit be transparent"
+    # then becomes the arithmetic test slot_id >= alpha_base — the
+    # full-width per-hit material gather disappears from every trace
+    if tri_opaque is not None:
+        tri_alpha = (~np.asarray(tri_opaque, bool)) & valid
+    else:
+        tri_alpha = np.zeros(T, bool)
+    any_alpha = bool(tri_alpha.any())
+
     from ..native import morton_order as _native_morton
     order = None
-    if (group == group[0]).all():
+    if (group == group[0]).all() and not any_alpha:
         order = _native_morton(centroids, valid)
     if order is None:
         grid = np.clip(((centroids - lo) / ext) * 1023.0,
                        0, 1023).astype(np.uint32)
         codes = morton_3d(grid).astype(np.uint64)
         gkey = np.asarray(group, np.uint64) * (np.uint64(1) << 34) + \
+            tri_alpha.astype(np.uint64) * (np.uint64(1) << 49) + \
             (~valid).astype(np.uint64) * (np.uint64(1) << 50)
         order = np.lexsort((np.arange(T), codes + gkey))
 
-    # cluster-align each group's range so clusters never span groups
-    gsorted = np.asarray(group)[order]
+    # cluster-align each (alpha, group) segment so clusters never span
+    # segment boundaries
+    seg = np.asarray(group) * 2 + tri_alpha
+    gsorted = seg[order]
     vsorted = valid[order]
     n_valid = int(valid.sum())
-    if n_valid and strategy != "all-merged-static":
+    if n_valid and (strategy != "all-merged-static" or any_alpha):
         pieces = []
         vmask = []
         gs = gsorted[:n_valid]
@@ -236,6 +270,11 @@ def build_cluster_tracer(tri_pos, tri_instance, tri_opaque=None,
     else:
         op = np.ones(total, bool)
     cluster_opaque = op.reshape(C, CLUSTER).all(axis=1).astype(np.int32)
+    slot_alpha = tri_alpha[perm] & valid_perm
+    if slot_alpha.any():
+        alpha_base = int(np.flatnonzero(slot_alpha)[0]) // CLUSTER * CLUSTER
+    else:
+        alpha_base = total
     tracer = ClusterTracer(
         v0=jnp.asarray(pos[:, 0].reshape(C, CLUSTER, 3)),
         e1=jnp.asarray((pos[:, 1] - pos[:, 0]).reshape(C, CLUSTER, 3)),
@@ -243,7 +282,7 @@ def build_cluster_tracer(tri_pos, tri_instance, tri_opaque=None,
         tri_valid=jnp.asarray(valid_perm.reshape(C, CLUSTER)),
         to_orig=jnp.asarray(perm),
         cmin=None, cmax=None, n_clusters=C,
-        opaque=jnp.asarray(cluster_opaque))
+        opaque=jnp.asarray(cluster_opaque), alpha_base=alpha_base)
     tracer = refit_cluster_tracer(tracer, tri_pos, perm)
     if _use_pallas():
         tracer = tracer.with_pallas_layout()
@@ -277,7 +316,8 @@ def refit_cluster_tracer(tracer: ClusterTracer, tri_pos, perm
     cmin = jnp.where(valid, corners, big).min(axis=(1, 2))
     cmax = jnp.where(valid, corners, -big).max(axis=(1, 2))
     out = ClusterTracer(v0, e1, e2, tracer.tri_valid, tracer.to_orig,
-                        cmin, cmax, C, opaque=tracer.opaque)
+                        cmin, cmax, C, opaque=tracer.opaque,
+                        alpha_base=tracer.alpha_base)
     if tracer.tris9 is not None:
         out = out.with_pallas_layout()
     return out

@@ -269,11 +269,16 @@ def interpolate_vertex(scene: DeviceScene, tri_id, bary_u, bary_v, view_dir
         instance_id=inst, primitive_id=tid)
 
 
-def sample_material(scene: DeviceScene, v: VertexData
+def sample_material(scene: DeviceScene, v: VertexData,
+                    slots: Optional[Tuple[bool, ...]] = None
                     ) -> Tuple[SampledMaterial, VertexData]:
     """(reference: shader/scene.glsl sample_material). Returns material and
     vertex data with normal mapping applied. ONE inst_packed row gather +
-    one block gather per sampled texture."""
+    one block gather per sampled texture.
+
+    slots: static per-scene (albedo, mr, normal, emission) "any material
+    binds this slot" flags — unbound slots skip their atlas gather (and
+    the normal-mapping math) at compile time."""
     from ..scene.device import (IP_ALBEDO, IP_CUTOFF, IP_DOUBLE, IP_TEXBLOCK,
                                 IP_EMISSION, IP_IOR, IP_METAL,
                                 IP_NORMAL_F, IP_ROUGH, IP_STMUL,
@@ -283,38 +288,53 @@ def sample_material(scene: DeviceScene, v: VertexData
     tid = jnp.maximum(v.primitive_id, 0)
     m = scene.tri_packed[tid][:, TP_IP:]                # (R, IP_COLS)
     tex = m[:, IP_TEX:IP_TEX + 4].astype(jnp.int32)
+    if slots is None:
+        slots = (True, True, True, True)
 
     def tex_at(slot):
+        if not slots[slot]:
+            return jnp.ones((m.shape[0], 4), jnp.float32)
         size = m[:, IP_TEXSIZE + 2 * slot:IP_TEXSIZE + 2 * slot + 2]
         blk = m[:, IP_TEXBLOCK + 2 * slot:IP_TEXBLOCK + 2 * slot + 2]
         return sample_texture_quad(scene, tex[:, slot], size, v.uv,
                                    block=blk)
 
     albedo = m[:, IP_ALBEDO:IP_ALBEDO + 4]
-    tex_col = tex_at(0)
-    tex_rgb = inverse_srgb_correction(tex_col[:, :3])
-    albedo = albedo * jnp.concatenate([tex_rgb, tex_col[:, 3:4]], axis=-1)
+    if slots[0]:
+        tex_col = tex_at(0)
+        tex_rgb = inverse_srgb_correction(tex_col[:, :3])
+        albedo = albedo * jnp.concatenate([tex_rgb, tex_col[:, 3:4]],
+                                          axis=-1)
 
-    mr_tex = tex_at(1)
-    # glTF: metallic in B, roughness in G (reference: scene.glsl .bg swizzle)
-    metallic = m[:, IP_METAL] * mr_tex[:, 2]
-    r = m[:, IP_ROUGH] * mr_tex[:, 1]
+    if slots[1]:
+        mr_tex = tex_at(1)
+        # glTF: metallic in B, roughness in G (reference: scene.glsl
+        # .bg swizzle)
+        metallic = m[:, IP_METAL] * mr_tex[:, 2]
+        r = m[:, IP_ROUGH] * mr_tex[:, 1]
+    else:
+        metallic = m[:, IP_METAL]
+        r = m[:, IP_ROUGH]
     roughness = r * r                 # artist-space squaring
 
     mapped_normal = v.smooth_normal
-    has_normal_tex = tex[:, 2] >= 0
-    nf = m[:, IP_NORMAL_F:IP_NORMAL_F + 1]
-    ts_n = tex_at(2)[:, :3] * 2.0 - 1.0
-    ts_n = normalize(ts_n)
-    tbn_n = (v.tangent * ts_n[:, 0:1] * nf +
-             v.bitangent * ts_n[:, 1:2] * nf +
-             v.smooth_normal * ts_n[:, 2:3])
-    tbn_n = normalize(tbn_n)
-    mapped_normal = jnp.where(
-        (has_normal_tex[:, None]) & jnp.isfinite(tbn_n).all(-1, keepdims=True),
-        tbn_n, mapped_normal)
+    if slots[2]:
+        has_normal_tex = tex[:, 2] >= 0
+        nf = m[:, IP_NORMAL_F:IP_NORMAL_F + 1]
+        ts_n = tex_at(2)[:, :3] * 2.0 - 1.0
+        ts_n = normalize(ts_n)
+        tbn_n = (v.tangent * ts_n[:, 0:1] * nf +
+                 v.bitangent * ts_n[:, 1:2] * nf +
+                 v.smooth_normal * ts_n[:, 2:3])
+        tbn_n = normalize(tbn_n)
+        mapped_normal = jnp.where(
+            (has_normal_tex[:, None]) &
+            jnp.isfinite(tbn_n).all(-1, keepdims=True),
+            tbn_n, mapped_normal)
 
-    emission = m[:, IP_EMISSION:IP_EMISSION + 3] * tex_at(3)[:, :3]
+    emission = m[:, IP_EMISSION:IP_EMISSION + 3]
+    if slots[3]:
+        emission = emission * tex_at(3)[:, :3]
 
     transmittance = m[:, IP_TRANSMIT]
     ior = m[:, IP_IOR]

@@ -103,7 +103,11 @@ class PathTracerRenderer(Renderer):
             rng_seed=opt.rng_seed,
             has_alpha_materials=self.arrays.any_alpha_materials,
             sampler=opt.sampler,
-            count_rays=_os.environ.get("TAURAY_COUNT_RAYS", "0") == "1")
+            count_rays=_os.environ.get("TAURAY_COUNT_RAYS", "0") == "1",
+            tex_slots=tuple(
+                bool((self.arrays.inst_tex[:, k] >= 0).any())
+                for k in range(4)),
+            tl_textured=bool((self.arrays.tl_tex >= 0).any()))
         V, H, W = self.cfg.n_views, opt.height, opt.width
         # sparse viewport rendering for light fields: only the viewports in
         # --spatial-reprojection are traced; the rest are reprojected

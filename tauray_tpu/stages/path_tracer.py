@@ -78,6 +78,11 @@ class PTConfig:
     has_alpha_materials: bool = False
     sampler: str = "uniform-random"    # | sobol-owen | sobol-z2 | sobol-z3
     count_rays: bool = False           # emit useful-ray (alive-lane) counts
+    # which texture slots (albedo, metallic-roughness, normal, emission)
+    # are bound by ANY material — unbound slots compile to constants so
+    # their atlas gathers (row-latency-bound) vanish from the program
+    tex_slots: Tuple[bool, bool, bool, bool] = (True, True, True, True)
+    tl_textured: bool = True           # any emissive tri with a texture
 
 
 class PTOutput(NamedTuple):
@@ -201,16 +206,18 @@ def sample_explicit_light(cfg: PTConfig, scene: DeviceScene, rand_uint, pos):
         l = ray_plane_intersection_dist(d, A, B, C)
         bad = ~jnp.isfinite(tri_pdf) | (tri_pdf <= 0) | \
             (l <= cfg.min_ray_dist) | ~jnp.isfinite(d).all(-1)
-        # textured emissive triangles
-        bary = get_barycentric_coords(d * l[:, None], A, B, C)
-        uv = (row[:, TL_UV:TL_UV + 2] * bary[:, 0:1] +
-              row[:, TL_UV + 2:TL_UV + 4] * bary[:, 1:2] +
-              row[:, TL_UV + 4:TL_UV + 6] * bary[:, 2:3])
-        tex = sample_texture_quad(
-            scene, row[:, TL_TEX].astype(jnp.int32),
-            row[:, TL_TEXSIZE:TL_TEXSIZE + 2], uv,
-            block=row[:, TL_TEXBLOCK:TL_TEXBLOCK + 2])[:, :3]
-        c = c * tex
+        # textured emissive triangles (skipped at compile time when no
+        # tri light binds an emission texture)
+        if cfg.tl_textured:
+            bary = get_barycentric_coords(d * l[:, None], A, B, C)
+            uv = (row[:, TL_UV:TL_UV + 2] * bary[:, 0:1] +
+                  row[:, TL_UV + 2:TL_UV + 4] * bary[:, 1:2] +
+                  row[:, TL_UV + 4:TL_UV + 6] * bary[:, 2:3])
+            tex = sample_texture_quad(
+                scene, row[:, TL_TEX].astype(jnp.int32),
+                row[:, TL_TEXSIZE:TL_TEXSIZE + 2], uv,
+                block=row[:, TL_TEXBLOCK:TL_TEXBLOCK + 2])[:, :3]
+            c = c * tex
         l = l - cfg.min_ray_dist
         p = w.triangle * tri_pdf / jnp.maximum(lc, 1)
         c = jnp.where(bad[:, None], 0.0, c)
@@ -334,7 +341,7 @@ def _shade_bounce(cfg: PTConfig, scene: DeviceScene, state, hit, vis,
 
     # ---- intersection info (reference: get_intersection_info) ---------
     v = interpolate_vertex(scene, hit.tri_id, hit.u, hit.v, safe_view)
-    mat, v = sample_material(scene, v)
+    mat, v = sample_material(scene, v, slots=cfg.tex_slots)
     mat = mat._replace(albedo=jnp.concatenate(
         [mat.albedo[:, :3], jnp.ones((R, 1), jnp.float32)], axis=-1))
 
@@ -573,45 +580,67 @@ def _advance_alpha(alpha_seed):
 def _trace_alpha_program(scene: DeviceScene, tracer, o, d, t_min, t_max,
                          alpha_u, has_alpha: bool, any_hit: bool = False,
                          rounds: int = 4):
-    """Alpha-tested trace as ONE device program: a `while_loop` re-traces
-    past transparent hits only while any ray actually needs it — device-side
+    """Alpha-tested trace as ONE device program: a `while_loop` services
+    transparent hits only while any ray actually needs it — device-side
     early exit, zero host syncs (the tunnel round-trip would otherwise
-    serialize every bounce)."""
+    serialize every bounce).
+
+    Work-proportional alpha handling, two layers:
+      * the traversal kernel's hit ids ARE the transparency test:
+        build_cluster_tracer segregates alpha-capable triangles into the
+        tail clusters, so `trace_flagged` marks "might be transparent"
+        hits arithmetically — the full-width material/texture alpha
+        fetch that used to run after EVERY trace (measured ~12% of
+        frame device time) is gone entirely;
+      * flagged rays are serviced COMPACTED: each round gathers them to
+        the front (one argsort over a bool), alpha-tests and re-traces a
+        fixed CAP-ray sub-wave, and scatters results back; rays beyond
+        CAP stay pending for later rounds. A wave that hits no
+        alpha-capable triangle skips the loop at the cost of one
+        compare."""
     R = o.shape[0]
     t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (R,))
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (R,))
-    hit = tracer.trace(o, d, t_min, t_max, any_hit=any_hit)
     if not has_alpha:
-        return hit
+        return tracer.trace(o, d, t_min, t_max, any_hit=any_hit)
+    hit, pending0 = tracer.trace_flagged(o, d, t_min, t_max,
+                                         any_hit=any_hit)
     cutoff = jnp.broadcast_to(jnp.asarray(alpha_u, jnp.float32), (R,))
 
-    # the skip test (gathers + texture fetch) runs ONCE per round: its
-    # result is carried into both the loop condition and the next body,
-    # rather than being recomputed in each
-    skip0, tmin0, _ = _alpha_skip_impl(scene, hit.t, hit.tri_id, hit.u,
-                                       hit.v, cutoff, t_min)
-
     def needs_work(carry):
-        k, t, tri_id, u, v, skip, _ = carry
-        return jnp.any(skip) & (k < rounds)
+        k, t, tri_id, u, v, pending, _ = carry
+        return jnp.any(pending) & (k < rounds)
+
+    quantum = 8192
+    cap = min(R, max(quantum, (R // 8) // quantum * quantum))
 
     def body(carry):
-        k, t, tri_id, u, v, skip, new_tmin = carry
-        # non-skipped rays re-trace with t_max=0: the kernel resolves
-        # them in zero traversal steps, so a round only costs for rays
-        # that actually passed through a transparent hit
-        re_tmax = jnp.where(skip, t_max, 0.0)
-        rehit = tracer.trace(o, d, new_tmin, re_tmax, any_hit=any_hit)
-        t = jnp.where(skip, rehit.t, t)
-        tri_id = jnp.where(skip, rehit.tri_id, tri_id)
-        u = jnp.where(skip, rehit.u, u)
-        v = jnp.where(skip, rehit.v, v)
-        nskip, ntmin, _ = _alpha_skip_impl(scene, t, tri_id, u, v, cutoff,
-                                           new_tmin)
-        nskip = nskip & skip          # only re-traced rays can continue
-        return (k + 1, t, tri_id, u, v, nskip, ntmin)
+        k, t, tri_id, u, v, pending, tmin_c = carry
+        idx = jnp.argsort(~pending, stable=True)[:cap]
+        p_s = pending[idx]
+        # alpha test (uv interp + texture fetch) on the sub-wave only
+        skip_s, ntmin_s, _ = _alpha_skip_impl(
+            scene, t[idx], tri_id[idx], u[idx], v[idx], cutoff[idx],
+            tmin_c[idx])
+        skip_s = skip_s & p_s
+        re_tmax = jnp.where(skip_s, t_max[idx], 0.0)
+        rehit, reflag = tracer.trace_flagged(o[idx], d[idx], ntmin_s,
+                                             re_tmax, any_hit=any_hit)
+        st = jnp.where(skip_s, rehit.t, t[idx])
+        stri = jnp.where(skip_s, rehit.tri_id, tri_id[idx])
+        su = jnp.where(skip_s, rehit.u, u[idx])
+        sv = jnp.where(skip_s, rehit.v, v[idx])
+        t = t.at[idx].set(st)
+        tri_id = tri_id.at[idx].set(stri)
+        u = u.at[idx].set(su)
+        v = v.at[idx].set(sv)
+        # serviced rays stay pending only when the re-trace hit another
+        # alpha-capable triangle; unserviced (beyond CAP) keep pending=1
+        pending = pending.at[idx].set(skip_s & reflag)
+        tmin_c = tmin_c.at[idx].set(ntmin_s)
+        return (k + 1, t, tri_id, u, v, pending, tmin_c)
 
-    carry = (jnp.int32(0), hit.t, hit.tri_id, hit.u, hit.v, skip0, tmin0)
+    carry = (jnp.int32(0), hit.t, hit.tri_id, hit.u, hit.v, pending0, t_min)
     carry = jax.lax.while_loop(needs_work, body, carry)
     from ..ops.intersect import Hit
     return Hit(carry[1], carry[2], carry[3], carry[4])
