@@ -94,15 +94,36 @@ class SHRenderer:
                 cfg, cam, jnp.zeros(P * S, jnp.int32), diffuse, refl,
                 fh["albedo"], fh["metallic"], fh["emission"],
                 fh["vertex_prev_pos"])
+            # probe visibility channel (reference:
+            # shader/sh_path_tracer.rgen:88-95): w = first-hit distance in
+            # VOXEL units, clamped to sqrt(3) — probes are never used
+            # further than one voxel away. cell_scale mirrors
+            # sh_path_tracer_stage.cc:132 (0.5*resolution/scale, here
+            # folded into world_to_local's linear part).
+            w2l = np.linalg.inv(
+                e.transform.get_global_transform()).astype(np.float32)
+            res_half = 0.5 * np.array(
+                [g.resolution[0], g.resolution[1], g.resolution[2]],
+                np.float32)
+            dl = jnp.einsum("ij,rj->ri", jnp.asarray(w2l[:3, :3]), dirs) * \
+                jnp.asarray(res_half)
+            world_dist = jnp.linalg.norm(fh["vertex_pos"] - origins, axis=-1)
+            hit_ok = fh["instance_id"] >= 0
+            dist = jnp.where(
+                hit_ok,
+                jnp.clip(world_dist * jnp.linalg.norm(dl, axis=-1),
+                         0.0, math.sqrt(3.0)),
+                math.sqrt(3.0))
+            color4 = jnp.concatenate([color, dist[:, None]], axis=-1)
             # project to SH per probe (sh_compact reduction)
             basis = sh_ops.sh_basis(dirs, g.order)       # (P*S, C)
             w = 4.0 * math.pi / S
             coef = jnp.einsum("psc,psk->pck",
                               basis.reshape(P, S, -1),
-                              color.reshape(P, S, 3)) * w
+                              color4.reshape(P, S, 4)) * w
             rz, ry, rx = g.resolution[2], g.resolution[1], g.resolution[0]
-            coef = np.asarray(coef).reshape(rx, ry, rz, -1, 3)
-            coef = coef.transpose(2, 1, 0, 3, 4)  # (rz, ry, rx, C, 3)
+            coef = np.asarray(coef).reshape(rx, ry, rz, -1, 4)
+            coef = coef.transpose(2, 1, 0, 3, 4)  # (rz, ry, rx, C, 4)
             ratio = opt.dshgi_temporal_ratio
             if self.frame == 0:
                 g.coefficients = coef.astype(np.float32)

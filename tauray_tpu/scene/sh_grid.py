@@ -1,7 +1,9 @@
 """3D grid of spherical-harmonics light probes (reference: src/sh_grid.hh).
 
 Coefficient layout: order-`o` SH has (o+1)^2 coefficients per probe, stored
-as a stacked array (res_z, res_y, res_x, coef, 3) — the analogue of the
+as a stacked array (res_z, res_y, res_x, coef, 4) — RGB radiance plus
+the probe-visibility distance channel (reference: sh_path_tracer.rgen:88-95
+stores vec4 with .w = voxel-unit hit distance) — the analogue of the
 reference's coefficient-stacked 3D texture (reference: src/sh_grid.hh:10-56).
 """
 
@@ -20,7 +22,7 @@ class SHGrid:
         self.radius = 0.0
         rx, ry, rz = self.resolution
         self.coefficients = np.zeros(
-            (rz, ry, rx, self.coef_count(), 3), dtype=np.float32)
+            (rz, ry, rx, self.coef_count(), 4), dtype=np.float32)
 
     def coef_count(self) -> int:
         return (self.order + 1) ** 2
@@ -30,7 +32,7 @@ class SHGrid:
             self.order = order
             rx, ry, rz = self.resolution
             self.coefficients = np.zeros(
-                (rz, ry, rx, self.coef_count(), 3), dtype=np.float32)
+                (rz, ry, rx, self.coef_count(), 4), dtype=np.float32)
 
     def probe_count(self) -> int:
         rx, ry, rz = self.resolution

@@ -28,11 +28,71 @@ from ..scene.device import CameraUniforms, DeviceScene
 from .shadow_map import ShadowMaps, pcf_visibility
 
 
+# Vulkan standard sample locations per MSAA count (spec table 24.2),
+# in [0,1) pixel units (reference: raster_pipeline.cc msaa states).
+MSAA_LOCATIONS = {
+    2: [(0.75, 0.75), (0.25, 0.25)],
+    4: [(0.375, 0.125), (0.875, 0.375), (0.125, 0.625), (0.625, 0.875)],
+    8: [(0.5625, 0.3125), (0.4375, 0.6875), (0.8125, 0.5625),
+        (0.3125, 0.1875), (0.1875, 0.8125), (0.0625, 0.4375),
+        (0.6875, 0.9375), (0.9375, 0.0625)],
+    16: [(0.5625, 0.5625), (0.4375, 0.3125), (0.3125, 0.625),
+         (0.75, 0.4375), (0.1875, 0.375), (0.625, 0.8125),
+         (0.8125, 0.6875), (0.6875, 0.1875), (0.375, 0.875),
+         (0.5, 0.0625), (0.25, 0.125), (0.125, 0.75),
+         (0.0, 0.5), (0.9375, 0.25), (0.875, 0.9375), (0.0625, 0.0)],
+}
+
+
+@partial(jax.jit, static_argnames=("width", "height", "n_views",
+                                   "has_alpha"))
+def raster_coverage(scene: DeviceScene, bvh, cam: CameraUniforms,
+                    sample_offset, width: int, height: int, n_views: int,
+                    min_ray_dist: float, has_alpha: bool):
+    """Hit mask of one MSAA sample ray per pixel — the coverage half of
+    MSAA when shading stays per-pixel (reference: raster pipeline MSAA
+    without sample_shading resolves geometry coverage only)."""
+    from ..ops.trace_utils import trace_alpha
+    V, H, W = n_views, height, width
+    R = V * H * W
+    ys, xs = jnp.meshgrid(jnp.arange(H), jnp.arange(W), indexing="ij")
+    pix = jnp.tile(jnp.stack([xs.reshape(-1), ys.reshape(-1)], axis=-1),
+                   (V, 1))
+    vp = jnp.repeat(jnp.arange(V), H * W)
+    size = jnp.array([W, H], jnp.float32)
+    origin, d = get_screen_camera_ray(cam, vp, pix, size,
+                                      pixel_offset=sample_offset)
+    hit = trace_alpha(scene, bvh, origin, d,
+                      jnp.full(R, min_ray_dist, jnp.float32),
+                      jnp.full(R, jnp.inf, jnp.float32), 1e-4, has_alpha)
+    return (hit.tri_id >= 0).reshape(V, H, W)
+
+
+@partial(jax.jit, static_argnames=("width", "height", "n_views",
+                                   "has_envmap"))
+def raster_background(scene: DeviceScene, cam: CameraUniforms, width: int,
+                      height: int, n_views: int, has_envmap: bool):
+    """Skybox color along the center rays (V, H, W, 3) — the resolve
+    target for MSAA coverage blending (reference: envmap_stage draws the
+    background before the forward pass)."""
+    from ..ops.lights import environment_radiance
+    V, H, W = n_views, height, width
+    ys, xs = jnp.meshgrid(jnp.arange(H), jnp.arange(W), indexing="ij")
+    pix = jnp.tile(jnp.stack([xs.reshape(-1), ys.reshape(-1)], axis=-1),
+                   (V, 1))
+    vp = jnp.repeat(jnp.arange(V), H * W)
+    size = jnp.array([W, H], jnp.float32)
+    _, d = get_screen_camera_ray(cam, vp, pix, size)
+    bg, _ = environment_radiance(scene, d, has_envmap)
+    return bg.reshape(V, H, W, 3)
+
+
 @partial(jax.jit, static_argnames=("width", "height", "n_views",
                                    "has_shadow_maps", "pcf_samples",
                                    "has_alpha", "sh_order", "has_sh",
                                    "has_envmap", "has_blend",
-                                   "pcss_samples", "pcss_min_radius"))
+                                   "pcss_samples", "pcss_min_radius",
+                                   "probe_vis"))
 def render_raster(scene: DeviceScene, bvh, cam: CameraUniforms,
                   prev_cam: CameraUniforms, shadow_maps: Optional[ShadowMaps],
                   map_table, sh_coefficients, brdf_lut, width: int, height: int,
@@ -40,7 +100,8 @@ def render_raster(scene: DeviceScene, bvh, cam: CameraUniforms,
                   has_shadow_maps: bool, pcf_samples: int, has_alpha: bool,
                   sh_order: int = 2, has_sh: bool = False,
                   has_envmap: bool = False, has_blend: bool = False,
-                  pcss_samples: int = 32, pcss_min_radius: float = 0.0):
+                  pcss_samples: int = 32, pcss_min_radius: float = 0.0,
+                  probe_vis: bool = False, sample_offset=None):
     """Returns dict of G-buffer images, each (V, H, W, C)."""
     from ..ops.trace_utils import trace_alpha
     V, H, W = n_views, height, width
@@ -51,7 +112,8 @@ def render_raster(scene: DeviceScene, bvh, cam: CameraUniforms,
     vp = jnp.repeat(jnp.arange(V), H * W)
     size = jnp.array([W, H], jnp.float32)
 
-    origin, d = get_screen_camera_ray(cam, vp, pix, size)
+    origin, d = get_screen_camera_ray(cam, vp, pix, size,
+                                      pixel_offset=sample_offset)
     hit = trace_alpha(scene, bvh, origin, d,
                       jnp.full(R, min_ray_dist, jnp.float32),
                       jnp.full(R, jnp.inf, jnp.float32), 1e-4, has_alpha)
@@ -132,15 +194,29 @@ def render_raster(scene: DeviceScene, bvh, cam: CameraUniforms,
         # the split-sum BRDF integration exactly like the reference
         # (forward.frag eval_indirect_light + brdf_indirect)
         if has_sh:
-            coef_grid, world_to_local = sh_coefficients
+            coef_grid, world_to_local = sh_coefficients[:2]
             local = jnp.einsum("ij,rj->ri", world_to_local[:3, :3], v.pos) + \
                 world_to_local[:3, 3]
             rz, ry, rx = coef_grid.shape[:3]
             res = jnp.array([rx, ry, rz], jnp.float32)
             g = (local * 0.5 + 0.5) * res - 0.5     # grid-space coords
+            use_vis = probe_vis and coef_grid.shape[-1] >= 4
+            if use_vis:
+                # probe-visibility interpolation (reference:
+                # shader/spherical_harmonics.glsl:244-309 non-trilinear
+                # path, enabled when use_probe_visibility): each of the 8
+                # corner probes is weighted by trilinear weight x a
+                # visibility factor (the probe's SH-encoded voxel-unit
+                # hit distance toward the shaded point, channel .w) x a
+                # normal factor (probes behind the surface fade out).
+                g = jnp.clip(g, 0.0, res - 1.0)
+                grid_n = normalize(jnp.einsum(
+                    "ij,rj->ri", world_to_local[:3, :3], v.smooth_normal))
             g0 = jnp.floor(g).astype(jnp.int32)
             f = g - g0
             coefs = 0.0
+            wsum = 0.0
+            from ..ops.sh import sh_basis
             for dz in (0, 1):
                 for dy in (0, 1):
                     for dx in (0, 1):
@@ -150,7 +226,37 @@ def render_raster(scene: DeviceScene, bvh, cam: CameraUniforms,
                         w = (jnp.where(dx, f[:, 0], 1 - f[:, 0]) *
                              jnp.where(dy, f[:, 1], 1 - f[:, 1]) *
                              jnp.where(dz, f[:, 2], 1 - f[:, 2]))
-                        coefs = coefs + coef_grid[iz, iy, ix] * w[:, None, None]
+                        c = coef_grid[iz, iy, ix]
+                        if use_vis:
+                            corner = jnp.stack(
+                                [ix, iy, iz], -1).astype(jnp.float32)
+                            sdir = corner - g
+                            sdist = jnp.linalg.norm(sdir, axis=-1)
+                            # the clamped interp position can land exactly
+                            # on a corner (sdir = 0): any direction works
+                            # there since sdist = 0 makes the visibility
+                            # factor saturate
+                            safe = jnp.where(sdist[:, None] > 1e-6, sdir,
+                                             jnp.array([1.0, 0.0, 0.0]))
+                            sunit = safe / jnp.maximum(sdist, 1e-6)[:, None]
+                            nf = jnp.clip(
+                                (jnp.sum(grid_n * sunit, -1) + 1.0) * 0.5,
+                                0.0, 1.0)
+                            # visibility: SH distance of the corner probe
+                            # evaluated toward the shaded point (basis
+                            # direction in grid-LOCAL units, matching the
+                            # projection direction space)
+                            vloc = -safe / res[None, :]
+                            vdir = vloc / jnp.linalg.norm(
+                                vloc, axis=-1, keepdims=True)
+                            vis_d = jnp.sum(
+                                sh_basis(vdir, sh_order) * c[..., 3], -1)
+                            vf = jnp.clip(vis_d - sdist + 0.4, 0.0, 1.0)
+                            w = w * nf * vf
+                        coefs = coefs + c[..., :3] * w[:, None, None]
+                        wsum = wsum + w
+            if use_vis:
+                coefs = coefs / jnp.maximum(wsum, 1e-8)[:, None, None]
             inc_diffuse = jnp.maximum(
                 eval_irradiance(coefs, v.mapped_normal, sh_order), 0.0)
             ref_dir = d - 2.0 * jnp.sum(d * v.mapped_normal, -1,

@@ -7,10 +7,11 @@ for everything else (one ray wave per map), stored as a stacked array
 (the analogue of the reference's shadow-map atlas) holding AXIAL linear
 depth along the light's forward axis. Filtering mirrors the reference:
 
-  * 64-tap Poisson-disk PCF with a per-pixel random rotation
-    (reference: shader/shadow_mapping.glsl pcf_2d_* — the reference
-    rotates by a tiled noise texture; here the rotation comes from a
-    pcg hash of the screen coordinate, statistically equivalent);
+  * 64-tap Poisson-disk PCF with per-pixel rotation, using the
+    reference's exact sample table (shader/poisson_samples_2d.glsl) and
+    its tiled (cos,sin) noise texture (data/noise_vector_2d.exr, sampled
+    at mod(screen_coord, 256) — shader/shadow_mapping.glsl pcf_2d_*);
+    falls back to a pcg-hash rotation when the asset is unavailable;
   * bilinear COMPARISON filtering per tap (reference samples a
     sampler2DShadow, i.e. the pass/fail result is bilinearly blended);
   * PCSS blocker search sizing the penumbra from the light's world
@@ -63,10 +64,16 @@ def _look_at(origin, direction):
     return m
 
 
-def build_shadow_maps(arrays, tracer, opt, scene_center=None
-                      ) -> Optional[ShadowMaps]:
+def build_shadow_maps(arrays, tracer, opt, scene_center=None,
+                      device_scene=None) -> Optional[ShadowMaps]:
     """Ray-cast depth maps for all shadow-casting lights. Bias defaults
-    mirror auto_assign_shadow_maps (reference: src/tauray.cc:441-454)."""
+    mirror auto_assign_shadow_maps (reference: src/tauray.cc:441-454).
+
+    Potentially-transparent materials cast shadows only where their
+    alpha >= 0.5, mirroring the reference's shadow_map.frag discard
+    (alpha_clip = 0.5 for potentially_transparent materials,
+    src/shadow_map_stage.cc:214-215, src/material.cc:7-11); pass
+    `device_scene` to enable the alpha texture fetch."""
     res = min(opt.shadow_map_resolution, 2048)
     views, kinds, params, lidx = [], [], [], []
     min_biases, max_biases, radii = [], [], []
@@ -149,10 +156,20 @@ def build_shadow_maps(arrays, tracer, opt, scene_center=None
             o_local = np.zeros_like(d_local)
         o = o_local @ inv_view[:3, :3].T + inv_view[:3, 3]
         d = d_local @ inv_view[:3, :3].T
-        hit = tracer.trace(jnp.asarray(o, jnp.float32),
-                           jnp.asarray(d, jnp.float32),
-                           jnp.zeros(len(u), jnp.float32),
-                           jnp.full(len(u), params[li, 3], jnp.float32))
+        R = len(u)
+        if device_scene is not None and \
+                bool(getattr(arrays, "any_alpha_materials", False)):
+            from ..ops.trace_utils import trace_alpha
+            hit = trace_alpha(
+                device_scene, tracer, jnp.asarray(o, jnp.float32),
+                jnp.asarray(d, jnp.float32), jnp.zeros(R, jnp.float32),
+                jnp.full(R, params[li, 3], jnp.float32),
+                jnp.full(R, 0.5, jnp.float32), True)
+        else:
+            hit = tracer.trace(jnp.asarray(o, jnp.float32),
+                               jnp.asarray(d, jnp.float32),
+                               jnp.zeros(R, jnp.float32),
+                               jnp.full(R, params[li, 3], jnp.float32))
         depth = jnp.where(hit.tri_id >= 0,
                           hit.t * jnp.asarray(axial), params[li, 3])
         depths.append(depth.reshape(res, res))
@@ -167,26 +184,70 @@ def build_shadow_maps(arrays, tracer, opt, scene_center=None
         resolution=res)
 
 
-def _poisson_disk(n: int, seed: int = 7) -> np.ndarray:
-    """Deterministic Poisson-ish disk via best-candidate sampling (the
-    reference ships a fixed sample table; this generates an equivalent
-    blue-noise set)."""
-    rng = np.random.default_rng(seed)
-    pts = np.zeros((n, 2), np.float32)
-    pts[0] = [0.0, 0.0]
-    for i in range(1, n):
-        best, best_d = None, -1.0
-        cand_r = np.sqrt(rng.random(24))
-        cand_a = rng.random(24) * 2 * np.pi
-        cand = np.stack([cand_r * np.cos(cand_a),
-                         cand_r * np.sin(cand_a)], -1)
-        d = np.linalg.norm(cand[:, None] - pts[None, :i], axis=-1).min(1)
-        j = int(np.argmax(d))
-        pts[i] = cand[j]
-    return pts.astype(np.float32)
+# The reference's fixed 64-sample Poisson disk (data table from
+# shader/poisson_samples_2d.glsl:9-46 — the golden images depend on these
+# exact tap positions, like the CLI option names depend on options.hh).
+_POISSON64 = np.array([
+    [-0.695065, -0.317671], [0.910942, 0.412491],
+    [-0.303778, 0.952665], [0.518187, -0.854809],
+    [0.064410, 0.143302], [-0.897262, 0.440243],
+    [-0.256688, -0.966451], [0.406177, 0.913495],
+    [0.955344, -0.295435], [0.065461, -0.458306],
+    [-0.372877, 0.432738], [0.564884, 0.035607],
+    [0.057368, 0.607356], [-0.272403, -0.158090],
+    [0.510804, -0.407973], [-0.999315, 0.007125],
+    [-0.649618, -0.759558], [0.474175, 0.466568],
+    [-0.598217, 0.090578], [-0.652515, 0.756754],
+    [0.142136, -0.989197], [-0.317785, -0.548586],
+    [0.054322, 0.991461], [0.991411, 0.062224],
+    [0.258940, -0.155479], [0.796365, -0.604791],
+    [0.685861, 0.727529], [-0.245210, 0.150298],
+    [0.251747, -0.702386], [-0.051031, -0.741023],
+    [-0.221569, 0.677006], [0.341205, 0.213390],
+    [0.696124, -0.205655], [-0.086215, 0.373800],
+    [-0.963839, -0.264658], [-0.831231, -0.555220],
+    [-0.636080, 0.360776], [0.673304, 0.283633],
+    [-0.006615, -0.198311], [0.310994, 0.670550],
+    [-0.829011, 0.195663], [-0.447090, -0.334952],
+    [0.160887, 0.382701], [-0.771199, -0.084460],
+    [-0.406718, -0.774974], [-0.585245, -0.529782],
+    [-0.156756, -0.378295], [0.567336, -0.630606],
+    [-0.449549, 0.649124], [0.282586, -0.384085],
+    [-0.495726, -0.112737], [0.706657, 0.504904],
+    [0.478992, -0.167310], [0.781413, -0.002990],
+    [-0.043730, 0.799185], [-0.094402, -0.002422],
+    [-0.719609, 0.555853], [-0.441099, 0.232549],
+    [0.207514, 0.851013], [0.774662, -0.398131],
+    [-0.055589, -0.943590], [0.319790, -0.893468],
+    [-0.488119, 0.872496], [0.863541, 0.217313]], np.float32)
 
 
-_POISSON64 = _poisson_disk(64)
+_NOISE_2D = None
+_NOISE_2D_TRIED = False
+
+
+def _load_noise_2d():
+    """The reference's tiled PCF rotation-noise texture
+    (data/noise_vector_2d.exr, unit (cos,sin) vectors; sampled by
+    scene_stage.cc:301 + shadow_mapping.glsl:203-207). Loaded lazily from
+    the reference data dir (override with TAURAY_NOISE_2D); returns
+    (H*W, 2) rows + (H, W), or None when the asset is unavailable (the
+    hash fallback in pcf_visibility then applies)."""
+    global _NOISE_2D, _NOISE_2D_TRIED
+    if _NOISE_2D_TRIED:
+        return _NOISE_2D
+    _NOISE_2D_TRIED = True
+    import os
+    path = os.environ.get("TAURAY_NOISE_2D",
+                          "/root/reference/data/noise_vector_2d.exr")
+    try:
+        from ..io.exr import read_rgb
+        img = np.asarray(read_rgb(path))
+        H, W = img.shape[:2]
+        _NOISE_2D = (jnp.asarray(img[..., :2].reshape(-1, 2)), (H, W))
+    except Exception:
+        _NOISE_2D = None
+    return _NOISE_2D
 
 
 def _bilinear_compare(depth_map, mi, x, y, z_cmp, res):
@@ -248,17 +309,29 @@ def pcf_visibility(maps: ShadowMaps, map_id, world_pos,
     u01 = u * 0.5 + 0.5
     v01 = v * 0.5 + 0.5
 
-    # per-pixel rotation (reference: tiled noise texture; here pcg hash)
-    if screen_xy is not None:
+    # per-pixel rotation from the reference's tiled noise texture
+    # (shader/shadow_mapping.glsl:203-207: noise_pos = ivec2(mod(
+    # gl_FragCoord.xy * noise_scale, textureSize)); cs = texel.xy;
+    # rotation = mat2(cs.x, cs.y, -cs.y, cs.x) — complex multiply by cs)
+    noise = _load_noise_2d()
+    if screen_xy is not None and noise is not None:
+        rows, (NH, NW) = noise
+        nx = jnp.remainder(screen_xy[:, 0].astype(jnp.int32), NW)
+        ny = jnp.remainder(screen_xy[:, 1].astype(jnp.int32), NH)
+        cs = rows[ny * NW + nx]
+        ca = cs[:, 0]
+        sa = cs[:, 1]
+    elif screen_xy is not None:
         h = (screen_xy[:, 0].astype(jnp.uint32) * jnp.uint32(0x9E3779B9) ^
              screen_xy[:, 1].astype(jnp.uint32) * jnp.uint32(0x85EBCA6B))
         h = h * jnp.uint32(0x27D4EB2D)
         h = h ^ (h >> jnp.uint32(15))
         ang = h.astype(jnp.float32) * (2 * np.pi / 4294967296.0)
+        ca = jnp.cos(ang)
+        sa = jnp.sin(ang)
     else:
-        ang = jnp.zeros(R, jnp.float32)
-    ca = jnp.cos(ang)
-    sa = jnp.sin(ang)
+        ca = jnp.ones(R, jnp.float32)
+        sa = jnp.zeros(R, jnp.float32)
 
     base_radius = maps.pcf_radius[mi]           # (R, 2)
     # uv-space PCF radius (reference: pcf radius semantics per kind)
@@ -281,13 +354,21 @@ def pcf_visibility(maps: ShadowMaps, map_id, world_pos,
         for k in range(n_search):
             ox = disk[k, 0] * ca - disk[k, 1] * sa
             oy = disk[k, 0] * sa + disk[k, 1] * ca
-            sx = jnp.clip(((u01 + ox * search_uv) * res - 0.5), 0, res - 1)
-            sy = jnp.clip(((v01 + oy * search_uv) * res - 0.5), 0, res - 1)
-            d = maps.depth[mi, jnp.round(sy).astype(jnp.int32),
-                           jnp.round(sx).astype(jnp.int32)]
-            blocker = d < z_cmp
-            occl = occl + blocker
-            avg_z = avg_z + jnp.where(blocker, d, 0.0)
+            # textureGather semantics (shadow_mapping.glsl:127-160): the
+            # 4 texels of the bilinear footprint all enter the blocker
+            # average, unweighted
+            sx = jnp.clip((u01 + ox * search_uv) * res - 0.5, 0, res - 1)
+            sy = jnp.clip((v01 + oy * search_uv) * res - 0.5, 0, res - 1)
+            x0 = jnp.floor(sx).astype(jnp.int32)
+            y0 = jnp.floor(sy).astype(jnp.int32)
+            for dy in (0, 1):
+                for dx in (0, 1):
+                    gx = jnp.clip(x0 + dx, 0, res - 1)
+                    gy = jnp.clip(y0 + dy, 0, res - 1)
+                    d = maps.depth[mi, gy, gx]
+                    blocker = d < z_cmp
+                    occl = occl + blocker
+                    avg_z = avg_z + jnp.where(blocker, d, 0.0)
         any_blocker = occl >= 1.0
         avg_z = avg_z / jnp.maximum(occl, 1.0)
         penumbra = (z_cmp - avg_z) / jnp.maximum(avg_z, 1e-6)
