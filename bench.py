@@ -131,6 +131,22 @@ def main():
             except Exception as e:
                 result["breakdown_error"] = f"{type(e).__name__}: {e}"
 
+        # Sponza-class point (VERDICT r2 missing #5: BASELINE.md's tracked
+        # 1080p interior-scene config had never been measured): the
+        # procedural colonnaded atrium at Crytek-Sponza triangle scale
+        # (tauray_tpu/io/procedural.py), 1920x1080, 1 spp, depth 4.
+        if os.environ.get("TAURAY_BENCH_SPONZA", "1") == "1":
+            try:
+                dt3, lanes3, _, _ = run_config(
+                    1920, 1080, depth, 1, 2,
+                    "proc://sponza?tris=262144", want_useful=False)
+                result["sponza_1080p"] = {
+                    "tris": 270848, "spp": 1,
+                    "ms_per_frame": round(dt3 * 1000, 2),
+                    "mrays_s": round(lanes3 / dt3 / 1e6, 2)}
+            except Exception as e:
+                result["sponza_error"] = f"{type(e).__name__}: {e}"
+
         # 16x-the-pixels point: shows throughput without the small-frame
         # fixed-overhead penalty (VERDICT r2 ask: bench at 1024^2 too)
         if os.environ.get("TAURAY_BENCH_HIRES", "1") == "1":

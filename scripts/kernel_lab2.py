@@ -247,10 +247,13 @@ if __name__ == "__main__":
     which = sys.argv[1:] or ["k6", "k7", "k6f", "k7f"]
     for name in which:
         body = mtfast_body if name.endswith("f") else mt_body
-        TILE = 16 if name.startswith("k6") else 32
-        for KB in (2, 4, 8):
-            # realistic mean active clusters/tile at K=128: ~26 (t16) /
-            # ~52 (t32); measure a matching fixed step count
-            target = 26 if TILE == 16 else 52
+        if name.startswith("k8"):
+            TILE = 8
+        elif name.startswith("k6"):
+            TILE = 16
+        else:
+            TILE = 32
+        for KB in (4, 8, 16):
+            target = {8: 14, 16: 26, 32: 52}[TILE]
             steps = max(target // KB, 1)
             run(TILE, KB, body, f"{name} TILE={TILE} KB={KB}", steps)

@@ -138,9 +138,9 @@ def main():
             cl = builders[bname](K)
             print(f"# {bname} K={K}: C={cl['C']}")
             for tile in (32, 16, 8):
-                for kb_tris in (256,):
+                for kb_tris in (256, 1024):
                     kb = max(kb_tris // K, 1)
-                    for sm in ("dir-origin",):
+                    for sm in ("none", "dir-origin"):
                         res = []
                         for wi in sel:
                             tested, act = simulate(waves[wi], cl, tile, kb,

@@ -358,6 +358,10 @@ def load_gltf(path: str, scene: Optional[Scene] = None) -> Scene:
 
 
 def load_scene(path: str, scene: Optional[Scene] = None) -> Scene:
+    if path.startswith("proc://"):
+        from .procedural import load_procedural
+        from ..scene.scene import Scene as _S
+        return load_procedural(path, scene if scene is not None else _S())
     ext = os.path.splitext(path)[1].lower()
     if ext in (".glb", ".gltf"):
         return load_gltf(path, scene)

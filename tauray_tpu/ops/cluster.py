@@ -108,13 +108,16 @@ class ClusterTracer:
 
     # ------------------------------------------------------------------
     def trace(self, origins, dirs, t_min, t_max, any_hit: bool = False,
-              sort_rays: Optional[bool] = None) -> Hit:
+              sort_rays: Optional[bool] = None,
+              need_uv: bool = True) -> Hit:
         return self.trace_flagged(origins, dirs, t_min, t_max,
-                                  any_hit=any_hit, sort_rays=sort_rays)[0]
+                                  any_hit=any_hit, sort_rays=sort_rays,
+                                  need_uv=need_uv)[0]
 
     def trace_flagged(self, origins, dirs, t_min, t_max,
                       any_hit: bool = False,
-                      sort_rays: Optional[bool] = None
+                      sort_rays: Optional[bool] = None,
+                      need_uv: bool = True
                       ) -> Tuple[Hit, jnp.ndarray]:
         """Like trace(), and additionally returns (R,) bool marking hits
         on alpha-capable (stochastic-transparency) triangles. The flag is
@@ -144,7 +147,10 @@ class ClusterTracer:
             t_min = jnp.concatenate([t_min, jnp.ones(pad, jnp.float32)])
             t_max = jnp.concatenate([t_max, jnp.zeros(pad, jnp.float32)])
         use_pallas = self.tris9 is not None
-        tracefn = _trace_padded_pallas if use_pallas else _trace_padded
+        if use_pallas:
+            tracefn = partial(_trace_padded_pallas, need_uv=need_uv)
+        else:
+            tracefn = _trace_padded
         if sort_rays:
             key = _ray_sort_key(o, d, self.cmin.min(axis=0),
                                 self.cmax.max(axis=0))
@@ -160,6 +166,28 @@ class ClusterTracer:
         alpha_flag = tid >= self.alpha_base
         tid = jnp.where(tid >= 0, self.to_orig[jnp.maximum(tid, 0)], -1)
         return Hit(t, tid, u, v), alpha_flag
+
+
+def _median_order(centroids, ids) -> np.ndarray:
+    """Recursive median split on the widest centroid axis, cut at
+    CLUSTER multiples so leaves stay full; iterative stack to avoid
+    Python recursion limits on large scenes."""
+    out = []
+    stack = [np.asarray(ids)]
+    while stack:
+        cur = stack.pop()
+        if len(cur) <= CLUSTER:
+            out.append(cur)
+            continue
+        c = centroids[cur]
+        ax = int(np.argmax(c.max(axis=0) - c.min(axis=0)))
+        k = len(cur) // 2
+        k = max(CLUSTER * max(round(k / CLUSTER), 1), CLUSTER)
+        k = min(k, len(cur) - 1)
+        part = np.argpartition(c[:, ax], k)
+        stack.append(cur[part[k:]])
+        stack.append(cur[part[:k]])
+    return np.concatenate(out)
 
 
 def tri_opacity(tri_instance, inst_has_alpha) -> np.ndarray:
@@ -217,9 +245,27 @@ def build_cluster_tracer(tri_pos, tri_instance, tri_opaque=None,
         tri_alpha = np.zeros(T, bool)
     any_alpha = bool(tri_alpha.any())
 
-    from ..native import morton_order as _native_morton
+    builder = _os.environ.get("TAURAY_CLUSTER_BUILDER", "median")
     order = None
-    if (group == group[0]).all() and not any_alpha:
+    if builder == "median":
+        # top-down recursive median split on the widest centroid axis,
+        # cut at CLUSTER multiples: produces compact, near-axis-aligned
+        # 128-tri leaves. Measured on captured test.glb waves this tests
+        # ~1.55x fewer triangles per ray than Morton-run clusters at the
+        # same tile size (scripts/trace_lab2.py), because Morton runs
+        # produce elongated, overlapping leaf AABBs.
+        parts = []
+        for a_val in (False, True):
+            sel = valid & (tri_alpha == a_val)
+            for g in np.unique(group[sel]) if sel.any() else []:
+                ids = np.flatnonzero(sel & (group == g))
+                if len(ids):
+                    parts.append(_median_order(centroids, ids))
+        if parts:
+            inval = np.flatnonzero(~valid)
+            order = np.concatenate(parts + ([inval] if len(inval) else []))
+    if order is None and (group == group[0]).all() and not any_alpha:
+        from ..native import morton_order as _native_morton
         order = _native_morton(centroids, valid)
     if order is None:
         grid = np.clip(((centroids - lo) / ext) * 1023.0,
@@ -335,15 +381,19 @@ def _morton10_jnp(x):
 
 
 def _ray_sort_key(o, d, scene_min, scene_max):
-    """Coherence key: origin Morton (major) then direction octant (minor) —
-    tiles then cover small spatial regions, which bounds the union of
-    active clusters better than direction-major ordering."""
-    octant = ((d[:, 0] > 0).astype(jnp.uint32) |
-              ((d[:, 1] > 0).astype(jnp.uint32) << 1) |
-              ((d[:, 2] > 0).astype(jnp.uint32) << 2))
+    """Coherence key: quantized direction (5 bits/axis) major, origin
+    Morton minor — measured best of {none, origin-octant, dir-origin} on
+    captured bounce/shadow waves (scripts/trace_lab.py grid): tiles of
+    near-parallel rays from nearby origins bound the union of active
+    clusters tightest under front-to-back early exit."""
+    dg = jnp.clip((d * 0.5 + 0.5) * 31.0, 0, 31).astype(jnp.uint32)
+    dk = (dg[:, 0] << jnp.uint32(10)) | (dg[:, 1] << jnp.uint32(5)) | \
+        dg[:, 2]
     ext = jnp.maximum(scene_max - scene_min, 1e-6)
     g = jnp.clip((o - scene_min) / ext * 1023.0, 0, 1023).astype(jnp.uint32)
-    return (_morton10_jnp(g) << jnp.uint32(3)) | octant
+    # 32-bit key (TPU sorts are 32-bit): 15 direction bits | top 17
+    # morton bits (~6 bits/axis of origin locality)
+    return (dk << jnp.uint32(17)) | (_morton10_jnp(g) >> jnp.uint32(13))
 
 
 def _slab_hit_soa(ox, oy, oz, ix, iy, iz, t_min, t_max, bmin, bmax):
@@ -534,9 +584,9 @@ def _trace_padded(tracer: ClusterTracer, o, d, t_min, t_max,
 _PALLAS_INTERPRET = _os.environ.get("TAURAY_PALLAS_INTERPRET", "0") == "1"
 
 
-@partial(jax.jit, static_argnames=("any_hit",))
+@partial(jax.jit, static_argnames=("any_hit", "need_uv"))
 def _trace_padded_pallas(tracer: ClusterTracer, o, d, t_min, t_max,
-                         any_hit: bool = False) -> Hit:
+                         any_hit: bool = False, need_uv: bool = True) -> Hit:
     """Phase 1 (slab cull + front-to-back key sort) in XLA, phase 2 in
     the Pallas kernel (ops/pallas_trace.py)."""
     from .pallas_trace import (KB as PKB, TILE as PT,
@@ -601,8 +651,15 @@ def _trace_padded_pallas(tracer: ClusterTracer, o, d, t_min, t_max,
         counts, keys, o3, d3, mm2, tracer.tris9, opaque, C, cpad, idmask,
         any_hit=any_hit, interpret=_PALLAS_INTERPRET)
     # barycentrics post-pass: recompute u,v for the single best triangle
-    # (one row gather from the packed [v0|e1|e2] table)
+    # (one row gather from the packed [v0|e1|e2] table). Skipped with
+    # need_uv=False — shading/alpha recompute barycentrics from rows they
+    # gather anyway (ops/shading.bary_from_row), saving ~15ns/ray of
+    # latency-bound gathers per wave.
     miss = tid < 0
+    t = jnp.where(miss, RAY_MAX_DIST, t)
+    if not need_uv:
+        z = jnp.zeros_like(t)
+        return Hit(t, tid, z, z)
     safe = jnp.maximum(tid, 0)
     row = tracer.tris_flat[safe]
     v0 = row[:, 0:3]
@@ -617,5 +674,4 @@ def _trace_padded_pallas(tracer: ClusterTracer, o, d, t_min, t_max,
     v = f * jnp.sum(d * q, axis=-1)
     u = jnp.where(miss, 0.0, u)
     v = jnp.where(miss, 0.0, v)
-    t = jnp.where(miss, RAY_MAX_DIST, t)
     return Hit(t, tid, u, v)

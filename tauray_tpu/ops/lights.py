@@ -65,13 +65,28 @@ def get_spotlight_intensity(dir_cutoff, dir_falloff, light_dir, dir):
     return jnp.where(dir_falloff > 0, shaped, 1.0)
 
 
+def row_lookup(table, li):
+    """Row lookup for SMALL tables (lights): a 1M-ray gather from a
+    13-row table is latency-bound on TPU (~25ns/row); a one-hot matmul
+    streams at MXU rate instead. Falls back to a real gather for large
+    tables (emissive-heavy scenes)."""
+    L = table.shape[0]
+    if L > 128 or table.ndim != 2:
+        return table[li]
+    oh = (li[..., None] == jnp.arange(L, dtype=li.dtype)).astype(
+        table.dtype)
+    return jax.lax.dot_general(
+        oh, table, (((oh.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
 def sample_point_light(scene: DeviceScene, li, u, pos):
     """(reference: shader/light.glsl sample_point_light).
     Returns (out_dir, out_length, color, pdf). One pl_packed row
     gather."""
     from ..scene.device import (PL_COLOR, PL_DIR, PL_DIRCUT, PL_FALLOFF,
                                 PL_POS, PL_RADIUS)
-    row = scene.pl_packed[li]
+    row = row_lookup(scene.pl_packed, li)
     lpos = row[..., PL_POS:PL_POS + 3]
     radius = row[..., PL_RADIUS]
     dir = pos - lpos
@@ -97,7 +112,7 @@ def sample_point_light(scene: DeviceScene, li, u, pos):
 
 def sample_point_light_pdf(scene: DeviceScene, li, pos):
     from ..scene.device import PL_POS, PL_RADIUS
-    row = scene.pl_packed[li]
+    row = row_lookup(scene.pl_packed, li)
     lpos = row[..., PL_POS:PL_POS + 3]
     radius = row[..., PL_RADIUS]
     dir = pos - lpos
@@ -113,7 +128,7 @@ def point_light_radiance(scene: DeviceScene, li, view):
     shader/path_tracer.glsl get_intersection_info point-light branch)."""
     from ..scene.device import (PL_COLOR, PL_DIR, PL_DIRCUT, PL_FALLOFF,
                                 PL_RADIUS)
-    row = scene.pl_packed[li]
+    row = row_lookup(scene.pl_packed, li)
     spot = get_spotlight_intensity(row[..., PL_DIRCUT],
                                    row[..., PL_FALLOFF],
                                    row[..., PL_DIR:PL_DIR + 3], view)
@@ -125,7 +140,7 @@ def point_light_radiance(scene: DeviceScene, li, view):
 def sample_directional_light(scene: DeviceScene, li, u):
     """Returns (out_dir, color, pdf)."""
     from ..scene.device import DL_COLOR, DL_DIR, DL_DIRCUT
-    row = scene.dl_packed[li]
+    row = row_lookup(scene.dl_packed, li)
     dl_dir = row[..., DL_DIR:DL_DIR + 3]
     cutoff = row[..., DL_DIRCUT]
     dl_color = row[..., DL_COLOR:DL_COLOR + 3]

@@ -231,15 +231,40 @@ class SampledMaterial(NamedTuple):
     shadow_terminator_mul: jnp.ndarray
 
 
-def interpolate_vertex(scene: DeviceScene, tri_id, bary_u, bary_v, view_dir
-                       ) -> VertexData:
+def bary_from_row(g, origin, direction):
+    """Barycentrics (u, v) recomputed from an already-gathered tri_packed
+    row + the ray — lets the traversal kernel skip its barycentric
+    post-pass gather entirely (row gathers are latency-bound; ~30 VPU
+    flops here replace one 1M-row gather per wave)."""
+    from ..scene.device import TP_POS
+    v0 = g[:, TP_POS:TP_POS + 3]
+    e1 = g[:, TP_POS + 3:TP_POS + 6] - v0
+    e2 = g[:, TP_POS + 6:TP_POS + 9] - v0
+    h = jnp.cross(direction, e2)
+    a = jnp.sum(e1 * h, axis=-1)
+    f = jnp.where(a != 0, 1.0 / jnp.where(a == 0, 1.0, a), 0.0)
+    s = origin - v0
+    u = f * jnp.sum(s * h, axis=-1)
+    q = jnp.cross(s, e1)
+    v = f * jnp.sum(direction * q, axis=-1)
+    return u, v
+
+
+def interpolate_vertex(scene: DeviceScene, tri_id, bary_u, bary_v, view_dir,
+                       ray_origin=None) -> VertexData:
     """(reference: shader/rt.glsl get_interpolated_vertex). tri_id must be
     clamped valid (mask misses outside). ONE tri_packed row gather feeds
-    the whole interpolation (gathers are row-latency-bound on TPU)."""
+    the whole interpolation (gathers are row-latency-bound on TPU).
+
+    ray_origin: when given, (bary_u, bary_v) are ignored and recomputed
+    from the row + ray (view_dir = ray direction) — pairs with
+    need_uv=False traces."""
     from ..scene.device import (TP_HARDN, TP_INST, TP_NORMAL, TP_POS,
                                 TP_PREV, TP_TANGENT, TP_UV)
     tid = jnp.maximum(tri_id, 0)
     g = scene.tri_packed[tid]                          # (R, TP_COLS)
+    if ray_origin is not None:
+        bary_u, bary_v = bary_from_row(g, ray_origin, view_dir)
     b0 = (1.0 - bary_u - bary_v)[:, None]
     b1 = bary_u[:, None]
     b2 = bary_v[:, None]

@@ -22,15 +22,19 @@ from ..scene.device import DeviceScene
 from .intersect import RAY_MAX_DIST, Hit
 
 
-def _hit_alpha(scene: DeviceScene, tri_id, u, v):
+def _hit_alpha(scene: DeviceScene, tri_id, u, v, o=None, d=None,
+               recompute_uv: bool = False):
     """albedo.a at a hit (reference: shader/rt.glsl is_material_skippable:
     albedo_factor.a * albedo_texture.a). Two row gathers + one texture
-    block gather."""
+    block gather. recompute_uv: barycentrics from the gathered row + ray
+    (pairs with need_uv=False traces)."""
     from ..scene.device import (IP_ALBEDO, IP_TEX, IP_TEXBLOCK,
                                 IP_TEXSIZE, TP_IP, TP_UV)
-    from .shading import sample_texture_quad
+    from .shading import bary_from_row, sample_texture_quad
     tid = jnp.maximum(tri_id, 0)
     g = scene.tri_packed[tid]
+    if recompute_uv:
+        u, v = bary_from_row(g, o, d)
     b0 = (1.0 - u - v)[:, None]
     uv = (g[:, TP_UV:TP_UV + 2] * b0 +
           g[:, TP_UV + 2:TP_UV + 4] * u[:, None] +
@@ -46,12 +50,16 @@ def _hit_alpha(scene: DeviceScene, tri_id, u, v):
 
 def trace_alpha(scene: DeviceScene, tracer, origins, dirs, t_min, t_max,
                 alpha_cutoff, has_alpha_materials: bool,
-                any_hit: bool = False, rounds: int = 2) -> Hit:
+                any_hit: bool = False, rounds: int = 2,
+                sort: bool = False, need_uv: bool = True) -> Hit:
     """Closest-hit (or shadow any-hit) trace with alpha skipping.
 
     alpha_cutoff: scalar or (R,) per-ray cutoff; hits with
-    albedo.a <= cutoff are transparent and skipped."""
-    hit = tracer.trace(origins, dirs, t_min, t_max, any_hit=any_hit)
+    albedo.a <= cutoff are transparent and skipped. sort: reorder by the
+    (direction, origin-morton) coherence key before tiling (incoherent
+    bounce/shadow waves)."""
+    hit = tracer.trace(origins, dirs, t_min, t_max, any_hit=any_hit,
+                       sort_rays=sort, need_uv=need_uv)
     if not has_alpha_materials:
         return hit
     cutoff = jnp.broadcast_to(jnp.asarray(alpha_cutoff, jnp.float32),
@@ -62,14 +70,15 @@ def trace_alpha(scene: DeviceScene, tracer, origins, dirs, t_min, t_max,
         valid = hit.tri_id >= 0
         inst = jnp.maximum(scene.tri_instance[jnp.maximum(hit.tri_id, 0)], 0)
         may_skip = valid & scene.inst_has_alpha[inst]
-        alpha = _hit_alpha(scene, hit.tri_id, hit.u, hit.v)
+        alpha = _hit_alpha(scene, hit.tri_id, hit.u, hit.v, origins, dirs,
+                           recompute_uv=not need_uv)
         skip = may_skip & (alpha <= cutoff)
         # re-trace skipped rays past the transparent hit; everyone else
         # gets t_max=0 so the traversal kernel resolves them in 0 steps
         new_tmin = jnp.where(skip, hit.t * (1 + 1e-5) + 1e-6, t_min)
         new_tmax = jnp.where(skip, t_max, 0.0)
         rehit = tracer.trace(origins, dirs, new_tmin, new_tmax,
-                             any_hit=any_hit)
+                             any_hit=any_hit, need_uv=need_uv)
         hit = Hit(
             t=jnp.where(skip, rehit.t, hit.t),
             tri_id=jnp.where(skip, rehit.tri_id, hit.tri_id),

@@ -196,7 +196,8 @@ def sample_explicit_light(cfg: PTConfig, scene: DeviceScene, rand_uint, pos):
         from ..ops.shading import sample_texture_quad
         lc = scene.tri_light_count
         li = jnp.clip((u[:, 2] * lc).astype(jnp.int32), 0, lc - 1)
-        row = scene.tl_packed[li]                  # one gather
+        from ..ops.lights import row_lookup
+        row = row_lookup(scene.tl_packed, li)      # one-hot for small tables
         A = row[:, TL_POS + 0:TL_POS + 3] - pos
         B = row[:, TL_POS + 3:TL_POS + 6] - pos
         C = row[:, TL_POS + 6:TL_POS + 9] - pos
@@ -340,7 +341,10 @@ def _shade_bounce(cfg: PTConfig, scene: DeviceScene, state, hit, vis,
     miss = ~tri_hit & ~light_hit
 
     # ---- intersection info (reference: get_intersection_info) ---------
-    v = interpolate_vertex(scene, hit.tri_id, hit.u, hit.v, safe_view)
+    # ray_origin: barycentrics recomputed from the gathered row — the
+    # traversal ran with need_uv=False (no barycentric post-pass gather)
+    v = interpolate_vertex(scene, hit.tri_id, hit.u, hit.v, safe_view,
+                           ray_origin=pos)
     mat, v = sample_material(scene, v, slots=cfg.tex_slots)
     mat = mat._replace(albedo=jnp.concatenate(
         [mat.albedo[:, :3], jnp.ones((R, 1), jnp.float32)], axis=-1))
@@ -552,7 +556,8 @@ def _nee_prep(cfg: PTConfig, scene: DeviceScene, seed, alpha_seed, hit,
     orchestrator. Redraws the same RNG values the shade program will."""
     safe_view = jnp.where(jnp.abs(view) < 1e-30,
                           jnp.array([0.0, 0, 1.0]), view)
-    v = interpolate_vertex(scene, hit.tri_id, hit.u, hit.v, safe_view)
+    v = interpolate_vertex(scene, hit.tri_id, hit.u, hit.v, safe_view,
+                           ray_origin=pos)
     _, rand = draw_ray_sample(cfg, seed, coord, slot)
     _, out_dir, out_len, _ = sample_explicit_light(cfg, scene, rand, v.pos)
     if cfg.has_alpha_materials:
@@ -576,10 +581,12 @@ def _advance_alpha(alpha_seed):
     return u
 
 
-@partial(jax.jit, static_argnames=("has_alpha", "any_hit", "rounds"))
+@partial(jax.jit, static_argnames=("has_alpha", "any_hit", "rounds",
+                                   "sort", "need_uv"))
 def _trace_alpha_program(scene: DeviceScene, tracer, o, d, t_min, t_max,
                          alpha_u, has_alpha: bool, any_hit: bool = False,
-                         rounds: int = 4):
+                         rounds: int = 4, sort: bool = False,
+                         need_uv: bool = False):
     """Alpha-tested trace as ONE device program: a `while_loop` services
     transparent hits only while any ray actually needs it — device-side
     early exit, zero host syncs (the tunnel round-trip would otherwise
@@ -602,9 +609,11 @@ def _trace_alpha_program(scene: DeviceScene, tracer, o, d, t_min, t_max,
     t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (R,))
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (R,))
     if not has_alpha:
-        return tracer.trace(o, d, t_min, t_max, any_hit=any_hit)
+        return tracer.trace(o, d, t_min, t_max, any_hit=any_hit,
+                            sort_rays=sort, need_uv=need_uv)
     hit, pending0 = tracer.trace_flagged(o, d, t_min, t_max,
-                                         any_hit=any_hit)
+                                         any_hit=any_hit, sort_rays=sort,
+                                         need_uv=need_uv)
     cutoff = jnp.broadcast_to(jnp.asarray(alpha_u, jnp.float32), (R,))
 
     def needs_work(carry):
@@ -621,11 +630,12 @@ def _trace_alpha_program(scene: DeviceScene, tracer, o, d, t_min, t_max,
         # alpha test (uv interp + texture fetch) on the sub-wave only
         skip_s, ntmin_s, _ = _alpha_skip_impl(
             scene, t[idx], tri_id[idx], u[idx], v[idx], cutoff[idx],
-            tmin_c[idx])
+            tmin_c[idx], o=o[idx], d=d[idx], recompute_uv=not need_uv)
         skip_s = skip_s & p_s
         re_tmax = jnp.where(skip_s, t_max[idx], 0.0)
         rehit, reflag = tracer.trace_flagged(o[idx], d[idx], ntmin_s,
-                                             re_tmax, any_hit=any_hit)
+                                             re_tmax, any_hit=any_hit,
+                                             need_uv=need_uv)
         st = jnp.where(skip_s, rehit.t, t[idx])
         stri = jnp.where(skip_s, rehit.tri_id, tri_id[idx])
         su = jnp.where(skip_s, rehit.u, u[idx])
@@ -646,15 +656,20 @@ def _trace_alpha_program(scene: DeviceScene, tracer, o, d, t_min, t_max,
     return Hit(carry[1], carry[2], carry[3], carry[4])
 
 
-def _alpha_skip_impl(scene, t, tri_id, u, v, cutoff, t_min):
-    """One tri row + one inst row + one texture block gather."""
+def _alpha_skip_impl(scene, t, tri_id, u, v, cutoff, t_min, o=None,
+                     d=None, recompute_uv: bool = False):
+    """One tri row + one inst row + one texture block gather.
+    recompute_uv: barycentrics from the gathered row + ray (pairs with
+    need_uv=False traces)."""
     from ..scene.device import (IP_ALBEDO, IP_HASALPHA, IP_TEX,
                                 IP_TEXBLOCK, IP_TEXSIZE, TP_IP, TP_UV)
-    from ..ops.shading import sample_texture_quad
+    from ..ops.shading import bary_from_row, sample_texture_quad
     valid = tri_id >= 0
     g = scene.tri_packed[jnp.maximum(tri_id, 0)]
     m = g[:, TP_IP:]
     may_skip = valid & (m[:, IP_HASALPHA] > 0.5)
+    if recompute_uv:
+        u, v = bary_from_row(g, o, d)
     b0 = (1.0 - u - v)[:, None]
     uv = (g[:, TP_UV:TP_UV + 2] * b0 +
           g[:, TP_UV + 2:TP_UV + 4] * u[:, None] +
@@ -671,9 +686,10 @@ def _alpha_skip_impl(scene, t, tri_id, u, v, cutoff, t_min):
 
 def host_trace_alpha(scene, tracer, o, d, t_min, t_max, alpha_u,
                      has_alpha: bool, any_hit: bool = False,
-                     rounds: int = 6):
+                     rounds: int = 6, sort: bool = False,
+                     need_uv: bool = False):
     return _trace_alpha_program(scene, tracer, o, d, t_min, t_max, alpha_u,
-                                has_alpha, any_hit, rounds)
+                                has_alpha, any_hit, rounds, sort, need_uv)
 
 
 def _run_bounce(cfg: PTConfig, scene: DeviceScene, tracer, state, b_idx,
@@ -688,6 +704,11 @@ def _run_bounce(cfg: PTConfig, scene: DeviceScene, tracer, state, b_idx,
         alpha_u = 0.0
     t_min = 0.0 if is_first else cfg.min_ray_dist
     t_max = jnp.where(alive, RAY_MAX_DIST, 0.0)
+    # NOTE on ray sorting: (direction, origin-morton) sorting cuts
+    # tested tris ~1.25x on bounce/shadow waves (scripts/trace_lab2.py),
+    # but the physical permutation costs ~8 latency-bound 1M-row gathers
+    # per wave — measured a NET LOSS on hardware (trace -150ms, gathers
+    # +300ms), so waves trace in pixel-block order (sort=False)
     hit = host_trace_alpha(scene, tracer, pos, view, t_min, t_max,
                            alpha_u, cfg.has_alpha_materials)
     useful = jnp.sum(t_max > 0.0) if cfg.count_rays else None
@@ -780,7 +801,8 @@ def evaluate_ray_inline(cfg: PTConfig, scene: DeviceScene, bvh,
         t_max = jnp.where(alive, RAY_MAX_DIST, 0.0)
         hit = trace_alpha(scene, bvh, cur_pos, cur_view,
                           jnp.full(R, t_min, jnp.float32),
-                          t_max, alpha_u, cfg.has_alpha_materials)
+                          t_max, alpha_u, cfg.has_alpha_materials,
+                          need_uv=False)
         # NEE is statically inactive at the final path vertex
         # (terminal => active_nee false in _shade_bounce), so the last
         # bounce's shadow wave is skipped entirely
@@ -794,7 +816,7 @@ def evaluate_ray_inline(cfg: PTConfig, scene: DeviceScene, bvh,
             sh = trace_alpha(scene, bvh, sh_o, sh_d,
                              jnp.full(R, cfg.min_ray_dist, jnp.float32),
                              sh_len, nee_alpha_u, cfg.has_alpha_materials,
-                             any_hit=True)
+                             any_hit=True, need_uv=False)
             vis = jnp.where(sh.tri_id < 0, 1.0, 0.0)
         else:
             vis = jnp.ones(R, jnp.float32)

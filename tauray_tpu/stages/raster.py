@@ -116,13 +116,15 @@ def render_raster(scene: DeviceScene, bvh, cam: CameraUniforms,
                                       pixel_offset=sample_offset)
     hit = trace_alpha(scene, bvh, origin, d,
                       jnp.full(R, min_ray_dist, jnp.float32),
-                      jnp.full(R, jnp.inf, jnp.float32), 1e-4, has_alpha)
+                      jnp.full(R, jnp.inf, jnp.float32), 1e-4, has_alpha,
+                      need_uv=False)
     def shade(hit):
         """Forward shading of one hit layer (reference:
         shader/forward.frag); returns (rgb incl. skybox on miss,
         mat, v, miss)."""
         miss = hit.tri_id < 0
-        v = interpolate_vertex(scene, hit.tri_id, hit.u, hit.v, d)
+        v = interpolate_vertex(scene, hit.tri_id, hit.u, hit.v, d,
+                               ray_origin=origin)
         mat, v = sample_material(scene, v)
 
         t, b, n = create_tangent_space(v.mapped_normal)
@@ -297,13 +299,15 @@ def render_raster(scene: DeviceScene, bvh, cam: CameraUniforms,
         tmin2 = jnp.where(front_blend,
                           hit.t * 1.0001 + 1e-4, min_ray_dist)
         h2 = trace_alpha(scene, bvh, origin, d, tmin2,
-                         jnp.full(R, jnp.inf), 1e-4, has_alpha)
+                         jnp.full(R, jnp.inf), 1e-4, has_alpha,
+                         need_uv=False)
         for _ in range(2):
             i2 = scene.tri_instance[jnp.maximum(h2.tri_id, 0)]
             again = (h2.tri_id >= 0) & scene.inst_blend[i2]
             tmin2 = jnp.where(again, h2.t * 1.0001 + 1e-4, tmin2)
             h2b = trace_alpha(scene, bvh, origin, d, tmin2,
-                              jnp.full(R, jnp.inf), 1e-4, has_alpha)
+                              jnp.full(R, jnp.inf), 1e-4, has_alpha,
+                              need_uv=False)
             h2 = _Hit(*(jnp.where(again, b2, a2)
                         for a2, b2 in zip(h2, h2b)))
         rgb_back = shade(h2)[0]
