@@ -48,8 +48,9 @@ def validate_render(scene, renderer, width, height, reference, tolerance,
 # Tolerances are the reference's own CTest registrations
 # (test/CMakeLists.txt:29-37) on the ImageMagick scale above:
 # raster/AOV 1, dshgi 10, path-tracer 10000.
-# Current state: path-tracer passes at ~425 (converged 64 spp carries a
-# residual ~3.5% mean deficit vs the golden, tracked in README); raster
+# Current state: path-tracer passes at ~425 (64 spp; ~194 at 256 spp —
+# the residual is the golden's older shading model, see
+# docs/PT_DEFICIT.md, not a transport bug); raster
 # sits at ~35 (PCSS soft shadows + split-sum indirect; residual is
 # penumbra-edge placement) and dshgi ~379 — entries carry an honest interim
 # tolerance so regressions still fail while parity work continues.
