@@ -675,3 +675,504 @@ def _trace_padded_pallas(tracer: ClusterTracer, o, d, t_min, t_max,
     u = jnp.where(miss, 0.0, u)
     v = jnp.where(miss, 0.0, v)
     return Hit(t, tid, u, v)
+
+
+# ---------------------------------------------------------------------------
+# Object-space instancing — the TPU-native TLAS
+# ---------------------------------------------------------------------------
+
+@jax.tree_util.register_pytree_node_class
+class InstancedClusterTracer:
+    """Two-level tracer with SHARED object-space geometry (reference:
+    src/acceleration_structure.hh:90-112 — the TLAS holds per-instance
+    transforms over shared BLASes; src/scene_stage.hh:20-26 blas
+    grouping). Selected by --as-strategy=per-model / per-material when
+    meshes are shared between instances.
+
+    * geometry: ONE set of median-split 128-tri clusters per UNIQUE
+      mesh, in OBJECT space — N instances of a mesh cost one copy;
+    * cluster-INSTANCES: entry k pairs (object cluster `k_cluster[k]`,
+      instance `k_inst[k]`) and carries a world-space AABB (the
+      transformed object AABB — phase 1 is unchanged, running over K
+      cluster-instances);
+    * traversal transforms each ray into instance space with the
+      instance's inverse transform, direction left UNNORMALIZED so the
+      hit parameter t stays in world units (no re-scaling);
+    * refit after movement = new inverse transforms + re-transformed
+      AABBs; triangle data is untouched (a moving instance re-uploads
+      only its transform);
+    * alpha-capable INSTANCES sort to the tail cluster-instances, so
+      the `slot >= alpha_base` transparency flag stays arithmetic.
+    """
+
+    def __init__(self, v0, e1, e2, tri_valid, to_orig, cmin, cmax,
+                 n_clusters: int, k_cluster=None, k_inst=None, inv=None,
+                 obj_min=None, obj_max=None, tris9=None, opaque=None,
+                 tris_flat=None, alpha_base: Optional[int] = None):
+        # object-space blocks, (Cu, CLUSTER, 3)
+        self.v0 = v0
+        self.e1 = e1
+        self.e2 = e2
+        self.tri_valid = tri_valid       # (Cu, CLUSTER)
+        self.to_orig = to_orig           # (K*CLUSTER,)
+        self.cmin = cmin                 # (K, 3) WORLD per cluster-instance
+        self.cmax = cmax
+        self.n_clusters = n_clusters     # K (cluster-instances)
+        self.k_cluster = k_cluster       # (K,) i32 -> object cluster
+        self.k_inst = k_inst             # (K,) i32 -> instance
+        self.inv = inv                   # (I, 3, 4) world->object
+        self.obj_min = obj_min           # (Cu, 3) object AABBs (for refit)
+        self.obj_max = obj_max
+        self.tris9 = tris9               # (Cu, 9, 1, CLUSTER) pallas layout
+        self.opaque = opaque             # (K,) i32
+        self.tris_flat = tris_flat       # (Cu*CLUSTER, 9) object rows
+        self.alpha_base = (0 if alpha_base is None else alpha_base)
+
+    def tree_flatten(self):
+        return ((self.v0, self.e1, self.e2, self.tri_valid, self.to_orig,
+                 self.cmin, self.cmax, self.k_cluster, self.k_inst,
+                 self.inv, self.obj_min, self.obj_max, self.tris9,
+                 self.opaque, self.tris_flat),
+                (self.n_clusters, self.alpha_base))
+
+    @classmethod
+    def tree_unflatten(cls, aux, ch):
+        return cls(ch[0], ch[1], ch[2], ch[3], ch[4], ch[5], ch[6], aux[0],
+                   k_cluster=ch[7], k_inst=ch[8], inv=ch[9], obj_min=ch[10],
+                   obj_max=ch[11], tris9=ch[12], opaque=ch[13],
+                   tris_flat=ch[14], alpha_base=aux[1])
+
+    # same trace API as ClusterTracer ----------------------------------
+    def trace(self, origins, dirs, t_min, t_max, any_hit: bool = False,
+              sort_rays: Optional[bool] = None, need_uv: bool = True) -> Hit:
+        return self.trace_flagged(origins, dirs, t_min, t_max,
+                                  any_hit=any_hit, sort_rays=sort_rays,
+                                  need_uv=need_uv)[0]
+
+    def trace_flagged(self, origins, dirs, t_min, t_max,
+                      any_hit: bool = False,
+                      sort_rays: Optional[bool] = None,
+                      need_uv: bool = True) -> Tuple[Hit, jnp.ndarray]:
+        o = jnp.asarray(origins, jnp.float32)
+        d = jnp.asarray(dirs, jnp.float32)
+        R = o.shape[0]
+        t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (R,))
+        t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (R,))
+        pad = (-R) % (TILE * max(TILE_CHUNK, 8))
+        if pad:
+            o = jnp.concatenate([o, jnp.zeros((pad, 3), o.dtype)])
+            d = jnp.concatenate([d, jnp.ones((pad, 3), d.dtype)])
+            t_min = jnp.concatenate([t_min, jnp.ones(pad, jnp.float32)])
+            t_max = jnp.concatenate([t_max, jnp.zeros(pad, jnp.float32)])
+        if self.tris9 is not None:
+            hit = _trace_padded_pallas_inst(self, o, d, t_min, t_max,
+                                            any_hit, need_uv)
+        else:
+            hit = _trace_padded_inst(self, o, d, t_min, t_max, any_hit)
+        t, tid, u, v = (x[:R] for x in hit)
+        alpha_flag = tid >= self.alpha_base
+        tid = jnp.where(tid >= 0, self.to_orig[jnp.maximum(tid, 0)], -1)
+        return Hit(t, tid, u, v), alpha_flag
+
+
+def build_instanced_tracer(mesh_tris, mesh_of_inst, inst_model,
+                           inst_opaque, tri_starts,
+                           use_pallas: Optional[bool] = None):
+    """Build the instanced tracer.
+
+    mesh_tris: list of (Tm, 3, 3) OBJECT-space triangle arrays, one per
+    unique mesh; mesh_of_inst: (I,) mesh index per instance;
+    inst_model: (I, 4, 4) object->world transforms; inst_opaque: (I,)
+    bool (False = alpha-capable material); tri_starts: (I,) world-soup
+    triangle offset per instance (to_orig mapping).
+    Returns (tracer, None)."""
+    # per-mesh object-space clusters (median split)
+    mesh_builds = []
+    for tris in mesh_tris:
+        tris = np.asarray(tris, np.float32)
+        T = tris.shape[0]
+        cents = tris.mean(axis=1)
+        order = _median_order(cents, np.arange(T))
+        C = max((T + CLUSTER - 1) // CLUSTER, 1)
+        total = C * CLUSTER
+        perm = np.full(total, order[0] if T else 0, np.int64)
+        perm[:min(T, total)] = order[:total]
+        vmask = np.zeros(total, bool)
+        vmask[:T] = True
+        pos = tris[perm]
+        corners = pos.reshape(C, CLUSTER, 3, 3)
+        vm = vmask.reshape(C, CLUSTER)[..., None, None]
+        big = 3e38
+        omin = np.where(vm, corners, big).min(axis=(1, 2))
+        omax = np.where(vm, corners, -big).max(axis=(1, 2))
+        mesh_builds.append(dict(
+            v0=pos[:, 0].reshape(C, CLUSTER, 3),
+            e1=(pos[:, 1] - pos[:, 0]).reshape(C, CLUSTER, 3),
+            e2=(pos[:, 2] - pos[:, 0]).reshape(C, CLUSTER, 3),
+            valid=vmask.reshape(C, CLUSTER), perm=perm, C=C))
+
+    cluster_base = np.cumsum([0] + [b["C"] for b in mesh_builds])
+    v0 = np.concatenate([b["v0"] for b in mesh_builds])
+    e1 = np.concatenate([b["e1"] for b in mesh_builds])
+    e2 = np.concatenate([b["e2"] for b in mesh_builds])
+    tri_valid = np.concatenate([b["valid"] for b in mesh_builds])
+
+    # cluster-instance list: alpha-capable instances LAST
+    mesh_of_inst = np.asarray(mesh_of_inst)
+    inst_opaque = np.asarray(inst_opaque, bool)
+    order_i = np.argsort(~inst_opaque, kind="stable")
+    k_cluster, k_inst, to_orig, opaque = [], [], [], []
+    alpha_base = None
+    for i in order_i:
+        mi = mesh_of_inst[i]
+        b = mesh_builds[mi]
+        if not inst_opaque[i] and alpha_base is None:
+            alpha_base = len(k_cluster) * CLUSTER
+        for c in range(b["C"]):
+            k_cluster.append(cluster_base[mi] + c)
+            k_inst.append(i)
+            opaque.append(1 if inst_opaque[i] else 0)
+            sl = b["perm"][c * CLUSTER:(c + 1) * CLUSTER]
+            to_orig.append(tri_starts[i] + sl)
+    if alpha_base is None:
+        alpha_base = len(k_cluster) * CLUSTER
+    k_cluster = np.asarray(k_cluster, np.int32)
+    k_inst = np.asarray(k_inst, np.int32)
+    to_orig = np.concatenate(to_orig).astype(np.int32)
+
+    tracer = InstancedClusterTracer(
+        v0=jnp.asarray(v0), e1=jnp.asarray(e1), e2=jnp.asarray(e2),
+        tri_valid=jnp.asarray(tri_valid), to_orig=jnp.asarray(to_orig),
+        cmin=None, cmax=None, n_clusters=len(k_cluster),
+        k_cluster=jnp.asarray(k_cluster), k_inst=jnp.asarray(k_inst),
+        inv=None, obj_min=None, obj_max=None,
+        opaque=jnp.asarray(np.asarray(opaque, np.int32)),
+        alpha_base=int(alpha_base))
+    # object AABBs (static) + pallas layout
+    corners_min = jnp.minimum(jnp.minimum(
+        tracer.v0, tracer.v0 + tracer.e1), tracer.v0 + tracer.e2)
+    corners_max = jnp.maximum(jnp.maximum(
+        tracer.v0, tracer.v0 + tracer.e1), tracer.v0 + tracer.e2)
+    valid = tracer.tri_valid[..., None]
+    big = jnp.float32(3e38)
+    tracer.obj_min = jnp.where(valid, corners_min, big).min(axis=1)
+    tracer.obj_max = jnp.where(valid, corners_max, -big).max(axis=1)
+    if use_pallas if use_pallas is not None else _use_pallas():
+        comps = jnp.concatenate([
+            jnp.swapaxes(tracer.v0, 1, 2), jnp.swapaxes(tracer.e1, 1, 2),
+            jnp.swapaxes(tracer.e2, 1, 2)], axis=1)
+        tracer.tris9 = comps[:, :, None, :]
+        tracer.tris_flat = jnp.concatenate(
+            [tracer.v0, tracer.e1, tracer.e2], axis=-1).reshape(-1, 9)
+    tracer = refit_instanced_tracer(tracer, inst_model)
+    return tracer, None
+
+
+def refit_instanced_tracer(tracer: InstancedClusterTracer, inst_model
+                           ) -> InstancedClusterTracer:
+    """Per-frame refit: ONLY transforms move (reference:
+    acceleration_structure TLAS update) — inverse matrices + world AABBs
+    from the static object AABBs. O(instances + cluster-instances)."""
+    model = jnp.asarray(inst_model, jnp.float32)      # (I, 4, 4)
+    inv4 = jnp.linalg.inv(model)
+    inv = inv4[:, :3, :]                              # (I, 3, 4)
+    # world AABB of each cluster-instance: transform the 8 object
+    # corners of its object AABB
+    omin = tracer.obj_min[tracer.k_cluster]           # (K, 3)
+    omax = tracer.obj_max[tracer.k_cluster]
+    M = model[tracer.k_inst]                          # (K, 4, 4)
+    corners = jnp.stack([
+        jnp.stack([jnp.where(m & 1, omax[:, 0], omin[:, 0]),
+                   jnp.where(m & 2, omax[:, 1], omin[:, 1]),
+                   jnp.where(m & 4, omax[:, 2], omin[:, 2])], axis=-1)
+        for m in range(8)], axis=1)                   # (K, 8, 3)
+    wc = jnp.einsum("kij,kcj->kci", M[:, :3, :3], corners) + \
+        M[:, None, :3, 3]
+    out = InstancedClusterTracer(
+        tracer.v0, tracer.e1, tracer.e2, tracer.tri_valid, tracer.to_orig,
+        wc.min(axis=1), wc.max(axis=1), tracer.n_clusters,
+        k_cluster=tracer.k_cluster, k_inst=tracer.k_inst, inv=inv,
+        obj_min=tracer.obj_min, obj_max=tracer.obj_max,
+        tris9=tracer.tris9, opaque=tracer.opaque,
+        tris_flat=tracer.tris_flat, alpha_base=tracer.alpha_base)
+    return out
+
+
+@partial(jax.jit, static_argnames=("any_hit",))
+def _trace_padded_inst(tracer: InstancedClusterTracer, o, d, t_min, t_max,
+                       any_hit: bool = False) -> Hit:
+    """XLA fallback traversal with per-cluster-instance ray transforms."""
+    R = o.shape[0]
+    n_tiles = R // TILE
+
+    ro = o.reshape(n_tiles, TILE, 3)
+    rd = d.reshape(n_tiles, TILE, 3)
+    rtmin = t_min.reshape(n_tiles, TILE)
+    rtmax = t_max.reshape(n_tiles, TILE)
+    inv_d = jnp.where(rd == 0, jnp.float32(3e38),
+                      1.0 / jnp.where(rd == 0, 1.0, rd))
+
+    hit_c = _slab_hit_soa(
+        ro[:, None, :, 0], ro[:, None, :, 1], ro[:, None, :, 2],
+        inv_d[:, None, :, 0], inv_d[:, None, :, 1], inv_d[:, None, :, 2],
+        rtmin[:, None, :], rtmax[:, None, :],
+        tracer.cmin, tracer.cmax)
+    active = jnp.any(hit_c, axis=2)
+    counts = active.sum(axis=1)
+    order = jnp.argsort(~active, axis=1, stable=True)
+
+    tile_order = jnp.argsort(counts)
+    ro = ro[tile_order]
+    rd = rd[tile_order]
+    rtmin = rtmin[tile_order]
+    rtmax = rtmax[tile_order]
+    order = order[tile_order]
+    counts_s = counts[tile_order]
+
+    def chunk_fn(args):
+        cro, crd, ctmin, ctmax, corder, ccounts = args
+        G = cro.shape[0]
+        steps = (ccounts.max() + KB - 1) // KB
+        best_t = jnp.minimum(ctmax, RAY_MAX_DIST)
+        best = (best_t,
+                jnp.full((G, TILE), -1, jnp.int32),
+                jnp.zeros((G, TILE), jnp.float32),
+                jnp.zeros((G, TILE), jnp.float32))
+
+        def body(k, best):
+            best_t, best_id, best_u, best_v = best
+            slots = k * KB + jnp.arange(KB)
+            kid = jnp.take_along_axis(
+                corder, jnp.broadcast_to(slots[None, :], (G, KB)), axis=1)
+            slot_ok = slots[None, :] < ccounts[:, None]
+            cid = tracer.k_cluster[kid]                    # (G, KB)
+            iid = tracer.k_inst[kid]
+            v0 = tracer.v0[cid].reshape(G, KB * CLUSTER, 3)
+            e1 = tracer.e1[cid].reshape(G, KB * CLUSTER, 3)
+            e2 = tracer.e2[cid].reshape(G, KB * CLUSTER, 3)
+            tvalid = (tracer.tri_valid[cid] &
+                      slot_ok[..., None]).reshape(G, KB * CLUSTER)
+            inv = tracer.inv[iid]                          # (G, KB, 3, 4)
+            # rays into instance space, per (tile, block): direction
+            # unnormalized so t stays world
+            ob = jnp.einsum("gkij,gtj->gkti", inv[..., :3], cro) + \
+                inv[..., None, :, 3]                       # (G, KB, TILE, 3)
+            db = jnp.einsum("gkij,gtj->gkti", inv[..., :3], crd)
+            t, u, v, hit = _mt_block_inst(ob, db, ctmin, best_t, v0, e1, e2)
+            hit = hit & tvalid[:, :, None]
+            t = jnp.where(hit, t, RAY_MAX_DIST)
+            arg = jnp.argmin(t, axis=1)
+            onehot = (jnp.arange(KB * CLUSTER)[None, :, None] ==
+                      arg[:, None, :])
+            cand_t = jnp.min(t, axis=1)
+            closer = cand_t < best_t
+            tri_local = arg % CLUSTER
+            kb_idx = arg // CLUSTER
+            tri_global = jnp.take_along_axis(kid, kb_idx, axis=1) * \
+                CLUSTER + tri_local
+            best_t = jnp.where(closer, cand_t, best_t)
+            best_id = jnp.where(closer, tri_global, best_id)
+            sel_u = jnp.sum(jnp.where(onehot, u, 0.0), axis=1)
+            sel_v = jnp.sum(jnp.where(onehot, v, 0.0), axis=1)
+            best_u = jnp.where(closer, sel_u, best_u)
+            best_v = jnp.where(closer, sel_v, best_v)
+            return (best_t, best_id, best_u, best_v)
+
+        best = jax.lax.fori_loop(0, steps, body, best)
+        best_t, best_id, best_u, best_v = best
+        miss = best_id < 0
+        best_t = jnp.where(miss, RAY_MAX_DIST, best_t)
+        return best_t, best_id, best_u, best_v
+
+    n_chunks = max(n_tiles // TILE_CHUNK, 1)
+    if n_tiles <= TILE_CHUNK:
+        t, tid, u, v = chunk_fn((ro, rd, rtmin, rtmax, order, counts_s))
+    else:
+        nc = n_tiles // TILE_CHUNK
+        t, tid, u, v = jax.lax.map(chunk_fn, (
+            ro.reshape(nc, TILE_CHUNK, TILE, 3),
+            rd.reshape(nc, TILE_CHUNK, TILE, 3),
+            rtmin.reshape(nc, TILE_CHUNK, TILE),
+            rtmax.reshape(nc, TILE_CHUNK, TILE),
+            order.reshape(nc, TILE_CHUNK, -1),
+            counts_s.reshape(nc, TILE_CHUNK)))
+        t = t.reshape(n_tiles, TILE)
+        tid = tid.reshape(n_tiles, TILE)
+        u = u.reshape(n_tiles, TILE)
+        v = v.reshape(n_tiles, TILE)
+
+    inv_tiles = jnp.zeros_like(tile_order).at[tile_order].set(
+        jnp.arange(n_tiles, dtype=tile_order.dtype))
+    t = t[inv_tiles].reshape(-1)
+    tid = tid[inv_tiles].reshape(-1)
+    u = u[inv_tiles].reshape(-1)
+    v = v[inv_tiles].reshape(-1)
+    return Hit(t, tid, u, v)
+
+
+def _mt_block_inst(ob, db, t_min, t_max, v0, e1, e2):
+    """Möller–Trumbore with PER-BLOCK rays: ob/db (G, KB, TILE, 3)
+    instance-space rays; v0/e1/e2 (G, KB*CLUSTER, 3).
+    Returns (t, u, v, hit) as (G, KB*CLUSTER, TILE)."""
+    G, KBn, T, _ = ob.shape
+    K = v0.shape[1]
+    C = K // KBn
+
+    def rc(x, k):   # (G, KB, 1, TILE) broadcast over the block's tris
+        return x[:, :, None, :, k]
+
+    def tc(x, k):   # (G, KB, CLUSTER, 1)
+        return x.reshape(G, KBn, C, 3)[:, :, :, k, None]
+
+    dx, dy, dz = (rc(db, 0), rc(db, 1), rc(db, 2))
+    ox, oy, oz = (rc(ob, 0), rc(ob, 1), rc(ob, 2))
+    e1x, e1y, e1z = (tc(e1, 0), tc(e1, 1), tc(e1, 2))
+    e2x, e2y, e2z = (tc(e2, 0), tc(e2, 1), tc(e2, 2))
+    v0x, v0y, v0z = (tc(v0, 0), tc(v0, 1), tc(v0, 2))
+
+    hx = dy * e2z - dz * e2y
+    hy = dz * e2x - dx * e2z
+    hz = dx * e2y - dy * e2x
+    a = e1x * hx + e1y * hy + e1z * hz
+    f = jnp.where(a != 0, 1.0 / jnp.where(a == 0, 1.0, a), 0.0)
+    sx = ox - v0x
+    sy = oy - v0y
+    sz = oz - v0z
+    u = f * (sx * hx + sy * hy + sz * hz)
+    qx = sy * e1z - sz * e1y
+    qy = sz * e1x - sx * e1z
+    qz = sx * e1y - sy * e1x
+    v = f * (dx * qx + dy * qy + dz * qz)
+    t = f * (e2x * qx + e2y * qy + e2z * qz)
+    tmin_b = t_min[:, None, None, :]
+    tmax_b = t_max[:, None, None, :]
+    hit = (a != 0) & (u >= 0) & (v >= 0) & (u + v <= 1) & \
+        (t >= tmin_b) & (t < tmax_b)
+    return (t.reshape(G, K, T), u.reshape(G, K, T), v.reshape(G, K, T),
+            hit.reshape(G, K, T))
+
+
+@partial(jax.jit, static_argnames=("any_hit", "need_uv"))
+def _trace_padded_pallas_inst(tracer: InstancedClusterTracer, o, d, t_min,
+                              t_max, any_hit: bool = False,
+                              need_uv: bool = True) -> Hit:
+    """Pallas phase 2 with per-block ray transforms; phase 1 identical
+    to the world-space path (world AABBs per cluster-instance)."""
+    from .pallas_trace import (KB as PKB, TILE as PT,
+                               pallas_trace_tiles_inst)
+    R = o.shape[0]
+    C = tracer.n_clusters
+    n_blocks = R // TILE
+    sub = TILE // PT
+    n_tiles = R // PT
+    ro = o.reshape(n_blocks, TILE, 3)
+    rd = d.reshape(n_blocks, TILE, 3)
+    rtmin = t_min.reshape(n_blocks, TILE)
+    rtmax = t_max.reshape(n_blocks, TILE)
+    inv_d = jnp.where(rd == 0, jnp.float32(3e38),
+                      1.0 / jnp.where(rd == 0, 1.0, rd))
+    tn, tf = _slab_t_soa(
+        ro[:, None, :, 0], ro[:, None, :, 1], ro[:, None, :, 2],
+        inv_d[:, None, :, 0], inv_d[:, None, :, 1], inv_d[:, None, :, 2],
+        tracer.cmin, tracer.cmax)
+    tn = jnp.maximum(tn, rtmin[:, None, :])
+    active_rc = (tf >= tn) & (tn <= rtmax[:, None, :])
+    inf = jnp.float32(jnp.inf)
+    tile_tnear = jnp.min(
+        jnp.where(active_rc, tn, inf).reshape(n_blocks, C, sub, PT),
+        axis=3)
+    tile_tnear = jnp.transpose(tile_tnear, (0, 2, 1)).reshape(n_tiles, C)
+    counts = jnp.sum(tile_tnear < inf, axis=1).astype(jnp.int32)
+    cpad = 1024 * (-(-(C + PKB) // 1024))
+    idbits = max(int(np.ceil(np.log2(max(C, 2)))), 1)
+    idmask = (1 << idbits) - 1
+    tn_bits = jax.lax.bitcast_convert_type(tile_tnear, jnp.int32)
+    cid = jnp.arange(C, dtype=jnp.int32)[None, :]
+    key = (tn_bits & ~idmask) | cid
+    key = jnp.where(jnp.isfinite(tile_tnear), key, jnp.int32(0x7FFFFFFF))
+    key = jnp.pad(key, ((0, 0), (0, cpad - C)),
+                  constant_values=0x7FFFFFFF)
+    keys = jnp.sort(key, axis=1)
+
+    if any_hit and tracer.opaque is not None:
+        opad = 1024 * (-(-C // 1024))
+        opaque = jnp.pad(tracer.opaque.astype(jnp.int32), (0, opad - C))
+    else:
+        opaque = jnp.ones(1024, jnp.int32)
+
+    o3 = o.reshape(n_tiles, PT, 3)
+    d3 = d.reshape(n_tiles, PT, 3)
+    mm2 = jnp.stack([t_min, t_max], axis=-1).reshape(n_tiles, PT, 2)
+    Kpad = 1024 * (-(-C // 1024))
+    k_cluster = jnp.pad(tracer.k_cluster, (0, Kpad - C))
+    k_inst = jnp.pad(tracer.k_inst, (0, Kpad - C))
+    inv_flat = tracer.inv.reshape(-1, 12)
+    Ipad = -(-inv_flat.shape[0] // 8) * 8
+    inv_flat = jnp.pad(inv_flat, ((0, Ipad - inv_flat.shape[0]), (0, 0)))
+    t, tid = pallas_trace_tiles_inst(
+        counts, keys, o3, d3, mm2, tracer.tris9, opaque, k_cluster,
+        k_inst, inv_flat.reshape(-1), C, cpad, idmask, any_hit=any_hit,
+        interpret=_PALLAS_INTERPRET)
+    miss = tid < 0
+    t = jnp.where(miss, RAY_MAX_DIST, t)
+    if not need_uv:
+        z = jnp.zeros_like(t)
+        return Hit(t, tid, z, z)
+    # barycentric post-pass in OBJECT space (barycentrics are
+    # affine-invariant): transform the ray per hit instance
+    safe = jnp.maximum(tid, 0)
+    kidx = safe // CLUSTER
+    cu = tracer.k_cluster[kidx]
+    iid = tracer.k_inst[kidx]
+    row = tracer.tris_flat[cu * CLUSTER + safe % CLUSTER]
+    inv = tracer.inv[iid]                              # (R, 3, 4)
+    oo = jnp.einsum("rij,rj->ri", inv[:, :, :3], o) + inv[:, :, 3]
+    dd = jnp.einsum("rij,rj->ri", inv[:, :, :3], d)
+    v0 = row[:, 0:3]
+    e1 = row[:, 3:6]
+    e2 = row[:, 6:9]
+    h = jnp.cross(dd, e2)
+    a = jnp.sum(e1 * h, axis=-1)
+    f = jnp.where(a != 0, 1.0 / jnp.where(a == 0, 1.0, a), 0.0)
+    s = oo - v0
+    u = f * jnp.sum(s * h, axis=-1)
+    q = jnp.cross(s, e1)
+    v = f * jnp.sum(dd * q, axis=-1)
+    u = jnp.where(miss, 0.0, u)
+    v = jnp.where(miss, 0.0, v)
+    return Hit(t, tid, u, v)
+
+
+def build_instanced_from_arrays(arrays, use_pallas: Optional[bool] = None):
+    """Instanced build from SceneArrays: dedupes instances that share a
+    mesh (identified by the mesh's array objects). Returns None when the
+    scene has no sharing to exploit or has skinned instances (their
+    object geometry deforms per frame; they keep world-baked clusters).
+    """
+    insts = arrays.instances
+    if not insts or any(arrays._skinned):
+        return None
+    mesh_ids = {}
+    mesh_of_inst = []
+    for ig in insts:
+        key = (id(ig.positions), id(ig.indices))
+        if key not in mesh_ids:
+            mesh_ids[key] = (len(mesh_ids), ig)
+        mesh_of_inst.append(mesh_ids[key][0])
+    if len(mesh_ids) == len(insts) and \
+            _os.environ.get("TAURAY_FORCE_INSTANCING") != "1":
+        return None
+    tri_inst = np.asarray(arrays.tri_instance)
+    obj = np.asarray(arrays.obj_pos)
+    mesh_tris = [None] * len(mesh_ids)
+    tri_starts = np.zeros(len(insts), np.int64)
+    for i in range(len(insts)):
+        idx = np.flatnonzero(tri_inst == i)
+        tri_starts[i] = idx[0] if len(idx) else 0
+        mi = mesh_of_inst[i]
+        if mesh_tris[mi] is None:
+            mesh_tris[mi] = obj[idx]
+    return build_instanced_tracer(
+        mesh_tris, mesh_of_inst, arrays.inst_model,
+        ~np.asarray(arrays.inst_has_alpha), tri_starts,
+        use_pallas=use_pallas)[0]

@@ -286,3 +286,247 @@ def pallas_trace_tiles(counts, keys, o3, d3, mm2, tris9, opaque,
     tid = jax.lax.bitcast_convert_type(out[:, :, 1], jnp.int32).reshape(-1)
     t = jnp.where(tid < 0, jnp.inf, t)
     return t, tid
+
+
+# ---------------------------------------------------------------------------
+# Instanced variant: per-cluster-instance ray transforms (the TLAS path)
+# ---------------------------------------------------------------------------
+
+def _kernel_inst(counts_ref, kcl_ref, kin_ref, inv_ref,   # scalar prefetch
+                 meta_ref, o_ref, d_ref, mm_ref, tris_ref, opq_ref,
+                 out_ref,
+                 tri_scr, ray_scr, meta_scr, opq_scr, meta_sem, opq_sem,
+                 sem,
+                 *, n_clusters: int, cpad: int, idmask: int, any_hit: bool):
+    """The traversal kernel with object-space shared geometry: each key
+    id is a CLUSTER-INSTANCE k; the DMA source is kcl[k]'s object block
+    and the tile's rays are transformed into kin[k]'s instance space per
+    128-lane block (direction unnormalized => t stays world-space).
+    Reference: TLAS instance transform + shared BLAS
+    (src/acceleration_structure.hh:90-112)."""
+    b = pl.program_id(0)
+    n_tiles = pl.num_programs(0) * G
+
+    def meta_dma(gt):
+        slot = jax.lax.rem(gt, NM)
+        return pltpu.make_async_copy(
+            meta_ref.at[pl.ds(gt * cpad, cpad)],
+            meta_scr.at[pl.ds(slot * cpad, cpad)], meta_sem.at[slot])
+
+    if any_hit:
+        @pl.when(b == 0)
+        def _():
+            cp = pltpu.make_async_copy(opq_ref, opq_scr, opq_sem)
+            cp.start()
+            cp.wait()
+
+    @pl.when(b == 0)
+    def _():
+        for gt0 in range(NM - 1):
+            meta_dma(gt0).start()
+        meta_dma(0).wait()
+
+    def process_tile(g, _):
+        gt = b * G + g
+
+        @pl.when(gt + NM - 1 < n_tiles)
+        def _():
+            meta_dma(gt + NM - 1).start()
+
+        @pl.when(gt + 1 < n_tiles)
+        def _():
+            meta_dma(gt + 1).wait()
+
+        base = jax.lax.rem(gt, NM) * cpad
+        count = counts_ref[gt]
+        steps = (count + KB - 1) // KB
+
+        def key_at(k):
+            return meta_scr[base + jnp.minimum(k, cpad - 1)]
+
+        def order_at(k):
+            return jnp.minimum(key_at(k) & idmask, n_clusters - 1)
+
+        ox = o_ref[g, :, 0:1]
+        oy = o_ref[g, :, 1:2]
+        oz = o_ref[g, :, 2:3]
+        dx = d_ref[g, :, 0:1]
+        dy = d_ref[g, :, 1:2]
+        dz = d_ref[g, :, 2:3]
+        tmin = mm_ref[g, :, 0:1]
+        tmax = mm_ref[g, :, 1:2]
+
+        def get_dmas(buf, step):
+            return [pltpu.make_async_copy(
+                tris_ref.at[kcl_ref[order_at(step * KB + j)]],
+                tri_scr.at[buf, :, :, pl.ds(j * CLUSTER, CLUSTER)],
+                sem.at[buf, j]) for j in range(KB)]
+
+        init_t = jnp.minimum(tmax, BIG)
+        init_id = jnp.full((TILE, 1), -1, jnp.int32)
+        init_opq = jnp.zeros((TILE, 1), jnp.int32)
+
+        def cond(c):
+            step, done = c[0], c[1]
+            return (step < steps) & ~done
+
+        def body(c):
+            step, _, best_t, best_id, best_opq = c
+            buf = jax.lax.rem(step, 2)
+
+            @pl.when(step + 1 < steps)
+            def _():
+                for dma in get_dmas(jax.lax.rem(step + 1, 2), step + 1):
+                    dma.start()
+            for dma in get_dmas(buf, step):
+                dma.wait()
+
+            # per-block instance-space rays: 12 scalar reads per block;
+            # each block's transformed (TILE, 1) components broadcast
+            # into that block's 128-lane slot of a VMEM staging buffer
+            # (pltpu.repeat tiles rather than element-repeats, so the
+            # lane expansion is done with strided stores instead)
+            for j in range(KB):
+                ij = kin_ref[order_at(step * KB + j)]
+                iv = [inv_ref[ij * 12 + m] for m in range(12)]
+                for r in range(3):
+                    ov = (iv[r * 4 + 0] * ox + iv[r * 4 + 1] * oy +
+                          iv[r * 4 + 2] * oz + iv[r * 4 + 3])
+                    dv = (iv[r * 4 + 0] * dx + iv[r * 4 + 1] * dy +
+                          iv[r * 4 + 2] * dz)
+                    ray_scr[r, :, pl.ds(j * CLUSTER, CLUSTER)] = \
+                        jnp.broadcast_to(ov, (TILE, CLUSTER))
+                    ray_scr[3 + r, :, pl.ds(j * CLUSTER, CLUSTER)] = \
+                        jnp.broadcast_to(dv, (TILE, CLUSTER))
+            tox = ray_scr[0]
+            toy = ray_scr[1]
+            toz = ray_scr[2]
+            tdx = ray_scr[3]
+            tdy = ray_scr[4]
+            tdz = ray_scr[5]
+
+            v0x = tri_scr[buf, 0]
+            v0y = tri_scr[buf, 1]
+            v0z = tri_scr[buf, 2]
+            e1x = tri_scr[buf, 3]
+            e1y = tri_scr[buf, 4]
+            e1z = tri_scr[buf, 5]
+            e2x = tri_scr[buf, 6]
+            e2y = tri_scr[buf, 7]
+            e2z = tri_scr[buf, 8]
+
+            hx = tdy * e2z - tdz * e2y
+            hy = tdz * e2x - tdx * e2z
+            hz = tdx * e2y - tdy * e2x
+            a = e1x * hx + e1y * hy + e1z * hz
+            f = jnp.where(a != 0, 1.0 / jnp.where(a == 0, 1.0, a), 0.0)
+            sx = tox - v0x
+            sy = toy - v0y
+            sz = toz - v0z
+            uu = f * (sx * hx + sy * hy + sz * hz)
+            qx = sy * e1z - sz * e1y
+            qy = sz * e1x - sx * e1z
+            qz = sx * e1y - sy * e1x
+            vv = f * (tdx * qx + tdy * qy + tdz * qz)
+            tt = f * (e2x * qx + e2y * qy + e2z * qz)
+            lane_block = jax.lax.broadcasted_iota(
+                jnp.int32, (TILE, BK), 1) // CLUSTER
+            slot_ok = (step * KB + lane_block) < count
+            hit = (a != 0) & (uu >= 0) & (vv >= 0) & (uu + vv <= 1) & \
+                (tt >= tmin) & (tt < best_t) & slot_ok
+            tt = jnp.where(hit, tt, BIG)
+            cand_t = jnp.min(tt, axis=1, keepdims=True)
+            arg = jnp.argmin(tt, axis=1)[:, None]
+            closer = cand_t < best_t
+            cid_win = jnp.zeros((TILE, 1), jnp.int32)
+            for j in range(KB):
+                cid_win = jnp.where(arg // CLUSTER == j,
+                                    order_at(step * KB + j), cid_win)
+            if any_hit:
+                opq_win = jnp.zeros((TILE, 1), jnp.int32)
+                for j in range(KB):
+                    opq_win = jnp.where(arg // CLUSTER == j,
+                                        opq_scr[order_at(step * KB + j)],
+                                        opq_win)
+                best_opq = jnp.where(closer, opq_win, best_opq)
+            best_t = jnp.where(closer, cand_t, best_t)
+            best_id = jnp.where(closer, cid_win * CLUSTER + arg % CLUSTER,
+                                best_id)
+
+            next_tn_bits = key_at((step + 1) * KB) & ~idmask
+            t_bits = jax.lax.bitcast_convert_type(best_t, jnp.int32)
+            ray_done = t_bits <= next_tn_bits
+            if any_hit:
+                ray_done = ray_done | ((best_id >= 0) & (best_opq > 0))
+            done = jnp.all(ray_done)
+            return (step + 1, done, best_t, best_id, best_opq)
+
+        @pl.when(steps > 0)
+        def _():
+            for dma in get_dmas(0, 0):
+                dma.start()
+
+        fs, fd, bt, bi, _ = jax.lax.while_loop(
+            cond, body,
+            (jnp.int32(0), steps <= 0, init_t, init_id, init_opq))
+
+        @pl.when(fd & (fs < steps) & (steps > 0))
+        def _():
+            for dma in get_dmas(jax.lax.rem(fs, 2), fs):
+                dma.wait()
+
+        out_ref[g, :, 0:1] = bt
+        out_ref[g, :, 1:2] = jax.lax.bitcast_convert_type(bi, jnp.float32)
+        return 0
+
+    jax.lax.fori_loop(0, G, process_tile, 0)
+
+
+@partial(jax.jit,
+         static_argnames=("n_clusters", "cpad", "idmask", "any_hit",
+                          "interpret"))
+def pallas_trace_tiles_inst(counts, keys, o3, d3, mm2, tris9, opaque,
+                            k_cluster, k_inst, inv12,
+                            n_clusters: int, cpad: int, idmask: int,
+                            any_hit: bool = False,
+                            interpret: bool = False):
+    """Instanced variant of pallas_trace_tiles: keys index
+    cluster-INSTANCES; k_cluster/k_inst/inv12 ride as scalar-prefetch
+    (SMEM) tables. Returns (t world-space, slot id)."""
+    n_tiles = counts.shape[0]
+    assert n_tiles % G == 0
+    keys = keys.reshape(-1)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(n_tiles // G,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+                  pl.BlockSpec((G, TILE, 3), lambda b, *_: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((G, TILE, 3), lambda b, *_: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((G, TILE, 2), lambda b, *_: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+                  pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)],
+        out_specs=pl.BlockSpec((G, TILE, 2), lambda b, *_: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, 9, 1, BK), jnp.float32),
+            pltpu.VMEM((6, TILE, BK), jnp.float32),
+            pltpu.SMEM((NM * cpad,), jnp.int32),
+            pltpu.SMEM((opaque.shape[0],), jnp.int32),
+            pltpu.SemaphoreType.DMA((NM,)),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((2, KB)),
+        ])
+    out_shape = jax.ShapeDtypeStruct((n_tiles, TILE, 2), jnp.float32)
+    out = pl.pallas_call(
+        partial(_kernel_inst, n_clusters=n_clusters, cpad=cpad,
+                idmask=idmask, any_hit=any_hit),
+        out_shape=out_shape, grid_spec=grid_spec,
+        interpret=interpret,
+    )(counts, k_cluster, k_inst, inv12, keys, o3, d3, mm2, tris9, opaque)
+    t = out[:, :, 0].reshape(-1)
+    tid = jax.lax.bitcast_convert_type(out[:, :, 1], jnp.int32).reshape(-1)
+    t = jnp.where(tid < 0, jnp.inf, t)
+    return t, tid

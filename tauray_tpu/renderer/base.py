@@ -34,12 +34,16 @@ class Renderer:
         (tiny) light tables. Returns the refit tracer; patches
         self.device_scene in place."""
         import os
+        from ..ops.cluster import (InstancedClusterTracer,
+                                   refit_instanced_tracer)
         if os.environ.get("TAURAY_HOST_UPDATE") == "1":
             from ..ops.cluster import refit_cluster_tracer
             from ..scene.device import to_device_scene
             self.arrays.update(keep_prev=True)
             self.device_scene = to_device_scene(
                 self.arrays, self.opt.transparent_background)
+            if isinstance(bvh, InstancedClusterTracer):
+                return refit_instanced_tracer(bvh, self.arrays.inst_model)
             return refit_cluster_tracer(bvh, self.arrays.tri_pos, perm)
         import jax.numpy as jnp
         from ..ops.cluster import refit_cluster_tracer
@@ -60,6 +64,10 @@ class Renderer:
             self.device_scene, self._geom_static, g, self._prev_geom,
             self.arrays)
         self._prev_geom = g
+        if isinstance(bvh, InstancedClusterTracer):
+            # TLAS refit: a moving instance re-uploads ONLY its
+            # transform; triangle blocks are untouched
+            return refit_instanced_tracer(bvh, jnp.asarray(models))
         return refit_cluster_tracer(bvh, g.tri_pos, perm)
 
     def viewports(self) -> List[Tuple[Camera, Transformable]]:

@@ -62,12 +62,23 @@ class PathTracerRenderer(Renderer):
     def _scene_changed(self):
         self.device_scene = to_device_scene(
             self.arrays, self.opt.transparent_background)
-        self.bvh, self._perm = build_cluster_tracer(
-            self.arrays.tri_pos, self.arrays.tri_instance,
-            tri_opaque=tri_opacity(self.arrays.tri_instance,
-                                   self.arrays.inst_has_alpha),
-            strategy=self.opt.as_strategy,
-            inst_dynamic=self.arrays.inst_dynamic)
+        # --as-strategy per-model / per-material: true TLAS instancing —
+        # shared meshes keep ONE object-space cluster set, instances add
+        # only a transform (reference: src/acceleration_structure.hh
+        # TLAS over shared BLASes). Other strategies (and skinned
+        # scenes) bake world-space clusters.
+        self.bvh = None
+        self._perm = None
+        if self.opt.as_strategy in ("per-model", "per-material"):
+            from ..ops.cluster import build_instanced_from_arrays
+            self.bvh = build_instanced_from_arrays(self.arrays)
+        if self.bvh is None:
+            self.bvh, self._perm = build_cluster_tracer(
+                self.arrays.tri_pos, self.arrays.tri_instance,
+                tri_opaque=tri_opacity(self.arrays.tri_instance,
+                                       self.arrays.inst_has_alpha),
+                strategy=self.opt.as_strategy,
+                inst_dynamic=self.arrays.inst_dynamic)
         self._prev_cam = None
         self.accum_color = None
         self.samples_accumulated = 0
