@@ -589,8 +589,8 @@ def _trace_padded_pallas(tracer: ClusterTracer, o, d, t_min, t_max,
                          any_hit: bool = False, need_uv: bool = True) -> Hit:
     """Phase 1 (slab cull + front-to-back key sort) in XLA, phase 2 in
     the Pallas kernel (ops/pallas_trace.py)."""
-    from .pallas_trace import (KB as PKB, TILE as PT,
-                               pallas_trace_tiles)
+    from .pallas_trace import (KB as PKB, TILE as PT, vm_fits,
+                               pallas_trace_tiles, pallas_trace_tiles_vm)
     R = o.shape[0]
     C = tracer.n_clusters
     # slab tests run on 128-ray blocks (full VPU lanes), then reduce to
@@ -647,7 +647,12 @@ def _trace_padded_pallas(tracer: ClusterTracer, o, d, t_min, t_max,
     o3 = o.reshape(n_tiles, PT, 3)
     d3 = d.reshape(n_tiles, PT, 3)
     mm2 = jnp.stack([t_min, t_max], axis=-1).reshape(n_tiles, PT, 2)
-    t, tid = pallas_trace_tiles(
+    # whole-table-in-VMEM kernel when the packed triangles fit (~10 MB
+    # budget, Sponza-class scenes included); DMA-streaming kernel above
+    # that (measured +10% at KB=8 and it makes KB=16 profitable:
+    # scripts/kernel_lab3.py / kernel_lab4.py)
+    kfn = pallas_trace_tiles_vm if vm_fits(C) else pallas_trace_tiles
+    t, tid = kfn(
         counts, keys, o3, d3, mm2, tracer.tris9, opaque, C, cpad, idmask,
         any_hit=any_hit, interpret=_PALLAS_INTERPRET)
     # barycentrics post-pass: recompute u,v for the single best triangle

@@ -530,3 +530,230 @@ def pallas_trace_tiles_inst(counts, keys, o3, d3, mm2, tris9, opaque,
     tid = jax.lax.bitcast_convert_type(out[:, :, 1], jnp.int32).reshape(-1)
     t = jnp.where(tid < 0, jnp.inf, t)
     return t, tid
+
+
+# ---------------------------------------------------------------------------
+# VMEM-resident variant: the whole triangle table lives in VMEM
+# ---------------------------------------------------------------------------
+
+KBV = int(_os.environ.get("TAURAY_PKBV", "16"))  # clusters per step (vmem)
+BKV = KBV * CLUSTER
+# VMEM budget for the resident triangle table: the packed table is
+# C * 9 * 128 * 4 B = 4.5 KB/cluster; rays/out/meta scratch need ~1 MB.
+VM_BUDGET_MB = float(_os.environ.get("TAURAY_PVMEM_MB", "10"))
+
+
+def vm_fits(n_clusters: int) -> bool:
+    """True when a scene's packed triangle table fits the VMEM-resident
+    kernel's budget (Sponza-class 2048 clusters = 9.4 MB fits v5e's
+    16 MB alongside the ray blocks)."""
+    return n_clusters * 9 * CLUSTER * 4 <= VM_BUDGET_MB * 1e6
+
+
+def _kernel_vm(counts_ref,            # scalar prefetch (n_tiles,)
+               meta_ref,              # (n_tiles*cpad,) i32 HBM sorted keys
+               o_ref, d_ref, mm_ref,  # (G, TILE, {3,3,2}) VMEM blocks
+               tris_ref,              # (C, 9, 1, CLUSTER) VMEM — RESIDENT
+               opq_ref,               # (opad,) i32 HBM cluster opacity
+               out_ref,               # (G, TILE, 2) VMEM block
+               meta_scr, opq_scr, meta_sem, opq_sem,
+               *, n_clusters: int, cpad: int, idmask: int, any_hit: bool):
+    """Traversal with the WHOLE cluster table VMEM-resident: scenes up
+    to ~10 MB of packed triangles (262k tris) skip the per-step DMA
+    machinery entirely — no double buffering, no tri semaphores, and
+    dynamic first-dim indexing of the resident table replaces each
+    cluster fetch (measured +10%% at TILE=32 KB=8, and it makes KB=16
+    profitable: scripts/kernel_lab3.py / kernel_lab4.py)."""
+    b = pl.program_id(0)
+    n_tiles = pl.num_programs(0) * G
+
+    def meta_dma(gt):
+        slot = jax.lax.rem(gt, NM)
+        return pltpu.make_async_copy(
+            meta_ref.at[pl.ds(gt * cpad, cpad)],
+            meta_scr.at[pl.ds(slot * cpad, cpad)], meta_sem.at[slot])
+
+    if any_hit:
+        @pl.when(b == 0)
+        def _():
+            cp = pltpu.make_async_copy(opq_ref, opq_scr, opq_sem)
+            cp.start()
+            cp.wait()
+
+    @pl.when(b == 0)
+    def _():
+        for gt0 in range(NM - 1):
+            meta_dma(gt0).start()
+        meta_dma(0).wait()
+
+    def process_tile(g, _):
+        gt = b * G + g
+
+        @pl.when(gt + NM - 1 < n_tiles)
+        def _():
+            meta_dma(gt + NM - 1).start()
+
+        @pl.when(gt + 1 < n_tiles)
+        def _():
+            meta_dma(gt + 1).wait()
+
+        base = jax.lax.rem(gt, NM) * cpad
+        count = counts_ref[gt]
+        steps = (count + KBV - 1) // KBV
+
+        def key_at(k):
+            return meta_scr[base + jnp.minimum(k, cpad - 1)]
+
+        def order_at(k):
+            return jnp.minimum(key_at(k) & idmask, n_clusters - 1)
+
+        ox = o_ref[g, :, 0:1]
+        oy = o_ref[g, :, 1:2]
+        oz = o_ref[g, :, 2:3]
+        dx = d_ref[g, :, 0:1]
+        dy = d_ref[g, :, 1:2]
+        dz = d_ref[g, :, 2:3]
+        tmin = mm_ref[g, :, 0:1]
+        tmax = mm_ref[g, :, 1:2]
+
+        init_t = jnp.minimum(tmax, BIG)
+        init_id = jnp.full((TILE, 1), -1, jnp.int32)
+        init_opq = jnp.zeros((TILE, 1), jnp.int32)
+
+        def cond(c):
+            step, done = c[0], c[1]
+            return (step < steps) & ~done
+
+        def body(c):
+            step, _, best_t, best_id, best_opq = c
+            orders = [order_at(step * KBV + j) for j in range(KBV)]
+            ts = [tris_ref[o] for o in orders]
+            tri = jnp.concatenate(ts, axis=-1) if KBV > 1 else ts[0]
+
+            v0x = tri[0]
+            v0y = tri[1]
+            v0z = tri[2]
+            e1x = tri[3]
+            e1y = tri[4]
+            e1z = tri[5]
+            e2x = tri[6]
+            e2y = tri[7]
+            e2z = tri[8]
+
+            hx = dy * e2z - dz * e2y
+            hy = dz * e2x - dx * e2z
+            hz = dx * e2y - dy * e2x
+            a = e1x * hx + e1y * hy + e1z * hz
+            f = jnp.where(a != 0, 1.0 / jnp.where(a == 0, 1.0, a), 0.0)
+            sx = ox - v0x
+            sy = oy - v0y
+            sz = oz - v0z
+            uu = f * (sx * hx + sy * hy + sz * hz)
+            qx = sy * e1z - sz * e1y
+            qy = sz * e1x - sx * e1z
+            qz = sx * e1y - sy * e1x
+            vv = f * (dx * qx + dy * qy + dz * qz)
+            tt = f * (e2x * qx + e2y * qy + e2z * qz)
+            lane_block = jax.lax.broadcasted_iota(
+                jnp.int32, (TILE, BKV), 1) // CLUSTER
+            slot_ok = (step * KBV + lane_block) < count
+            hit = (a != 0) & (uu >= 0) & (vv >= 0) & (uu + vv <= 1) & \
+                (tt >= tmin) & (tt < best_t) & slot_ok
+            tt = jnp.where(hit, tt, BIG)
+            cand_t = jnp.min(tt, axis=1, keepdims=True)
+            arg = jnp.argmin(tt, axis=1)[:, None]
+            closer = cand_t < best_t
+            if any_hit:
+                # any-hit needs the winner's opacity IN-kernel (early
+                # exit once every ray has an opaque hit), so it keeps
+                # the per-block select chain
+                cid_win = jnp.zeros((TILE, 1), jnp.int32)
+                opq_win = jnp.zeros((TILE, 1), jnp.int32)
+                for j in range(KBV):
+                    blk = arg // CLUSTER == j
+                    cid_win = jnp.where(blk, orders[j], cid_win)
+                    opq_win = jnp.where(blk, opq_scr[orders[j]], opq_win)
+                best_opq = jnp.where(closer, opq_win, best_opq)
+                win_id = cid_win * CLUSTER + arg % CLUSTER
+            else:
+                # closest-hit keeps the winner as an ORDER SLOT (pure
+                # vector math, no select chain / SMEM rereads); the
+                # slot -> cluster-id map is one take_along_axis of the
+                # sorted key rows after the kernel (lab: kernel_lab4.py
+                # "slot" vs "cid")
+                win_id = (step * KBV) * CLUSTER + arg
+            best_t = jnp.where(closer, cand_t, best_t)
+            best_id = jnp.where(closer, win_id, best_id)
+
+            next_tn_bits = key_at((step + 1) * KBV) & ~idmask
+            t_bits = jax.lax.bitcast_convert_type(best_t, jnp.int32)
+            ray_done = t_bits <= next_tn_bits
+            if any_hit:
+                ray_done = ray_done | ((best_id >= 0) & (best_opq > 0))
+            done = jnp.all(ray_done)
+            return (step + 1, done, best_t, best_id, best_opq)
+
+        _, _, bt, bi, _ = jax.lax.while_loop(
+            cond, body,
+            (jnp.int32(0), steps <= 0, init_t, init_id, init_opq))
+
+        out_ref[g, :, 0:1] = bt
+        out_ref[g, :, 1:2] = jax.lax.bitcast_convert_type(bi, jnp.float32)
+        return 0
+
+    jax.lax.fori_loop(0, G, process_tile, 0)
+
+
+@partial(jax.jit,
+         static_argnames=("n_clusters", "cpad", "idmask", "any_hit",
+                          "interpret"))
+def pallas_trace_tiles_vm(counts, keys, o3, d3, mm2, tris9, opaque,
+                          n_clusters: int, cpad: int, idmask: int,
+                          any_hit: bool = False, interpret: bool = False):
+    """VMEM-resident counterpart of pallas_trace_tiles (same contract)."""
+    n_tiles = counts.shape[0]
+    assert n_tiles % G == 0
+    keys2d = keys.reshape(n_tiles, cpad)
+    keys = keys.reshape(-1)
+    C = tris9.shape[0]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles // G,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+                  pl.BlockSpec((G, TILE, 3), lambda b, *_: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((G, TILE, 3), lambda b, *_: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((G, TILE, 2), lambda b, *_: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((C, 9, 1, CLUSTER),
+                               lambda b, *_: (0, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)],
+        out_specs=pl.BlockSpec((G, TILE, 2), lambda b, *_: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.SMEM((NM * cpad,), jnp.int32),
+            pltpu.SMEM((opaque.shape[0],), jnp.int32),
+            pltpu.SemaphoreType.DMA((NM,)),
+            pltpu.SemaphoreType.DMA(()),
+        ])
+    out_shape = jax.ShapeDtypeStruct((n_tiles, TILE, 2), jnp.float32)
+    out = pl.pallas_call(
+        partial(_kernel_vm, n_clusters=n_clusters, cpad=cpad,
+                idmask=idmask, any_hit=any_hit),
+        out_shape=out_shape, grid_spec=grid_spec,
+        interpret=interpret,
+    )(counts, keys, o3, d3, mm2, tris9, opaque)
+    t = out[:, :, 0].reshape(-1)
+    raw = jax.lax.bitcast_convert_type(out[:, :, 1], jnp.int32)
+    if not any_hit:
+        # slot -> global id: slot indexes this tile's sorted key row
+        # (winner slots always index real keys: slot_ok masks padding)
+        slot = jnp.maximum(raw, 0) // CLUSTER
+        key = jnp.take_along_axis(keys2d, slot, axis=1)
+        cid = jnp.minimum(key & idmask, n_clusters - 1)
+        raw = jnp.where(raw < 0, -1, cid * CLUSTER + raw % CLUSTER)
+    tid = raw.reshape(-1)
+    t = jnp.where(tid < 0, jnp.inf, t)
+    return t, tid

@@ -623,31 +623,54 @@ def _trace_alpha_program(scene: DeviceScene, tracer, o, d, t_min, t_max,
     quantum = 8192
     cap = min(R, max(quantum, (R // 8) // quantum * quantum))
 
+    # TPU gathers/scatters are row-latency-bound and WIDTH-FREE up to
+    # ~128 f32 cols (scripts/gather_lab.py: 1 col 7.5 ms/1M rows, 128
+    # cols 11.2 ms), so the per-round compaction moves ONE wide packed
+    # row per ray instead of nine scalar columns, and writes results
+    # back with ONE packed scatter.
+    ray_pack = jnp.concatenate([
+        o, d, cutoff[:, None], t_max[:, None]], axis=1)      # (R, 8) static
+
     def body(carry):
         k, t, tri_id, u, v, pending, tmin_c = carry
         idx = jnp.argsort(~pending, stable=True)[:cap]
-        p_s = pending[idx]
+        state = jnp.concatenate([
+            t[:, None], u[:, None], v[:, None], tmin_c[:, None],
+            jax.lax.bitcast_convert_type(tri_id, jnp.float32)[:, None],
+            pending.astype(jnp.float32)[:, None], ray_pack], axis=1)
+        s = state[idx]                                       # (cap, 14)
+        t_s, u_s, v_s, tmin_s = s[:, 0], s[:, 1], s[:, 2], s[:, 3]
+        tri_s = jax.lax.bitcast_convert_type(s[:, 4], jnp.int32)
+        p_s = s[:, 5] > 0.5
+        o_s, d_s = s[:, 6:9], s[:, 9:12]
+        cut_s, tmax_s = s[:, 12], s[:, 13]
         # alpha test (uv interp + texture fetch) on the sub-wave only
         skip_s, ntmin_s, _ = _alpha_skip_impl(
-            scene, t[idx], tri_id[idx], u[idx], v[idx], cutoff[idx],
-            tmin_c[idx], o=o[idx], d=d[idx], recompute_uv=not need_uv)
+            scene, t_s, tri_s, u_s, v_s, cut_s,
+            tmin_s, o=o_s, d=d_s, recompute_uv=not need_uv)
         skip_s = skip_s & p_s
-        re_tmax = jnp.where(skip_s, t_max[idx], 0.0)
-        rehit, reflag = tracer.trace_flagged(o[idx], d[idx], ntmin_s,
+        re_tmax = jnp.where(skip_s, tmax_s, 0.0)
+        rehit, reflag = tracer.trace_flagged(o_s, d_s, ntmin_s,
                                              re_tmax, any_hit=any_hit,
                                              need_uv=need_uv)
-        st = jnp.where(skip_s, rehit.t, t[idx])
-        stri = jnp.where(skip_s, rehit.tri_id, tri_id[idx])
-        su = jnp.where(skip_s, rehit.u, u[idx])
-        sv = jnp.where(skip_s, rehit.v, v[idx])
-        t = t.at[idx].set(st)
-        tri_id = tri_id.at[idx].set(stri)
-        u = u.at[idx].set(su)
-        v = v.at[idx].set(sv)
+        st = jnp.where(skip_s, rehit.t, t_s)
+        stri = jnp.where(skip_s, rehit.tri_id, tri_s)
+        su = jnp.where(skip_s, rehit.u, u_s)
+        sv = jnp.where(skip_s, rehit.v, v_s)
         # serviced rays stay pending only when the re-trace hit another
         # alpha-capable triangle; unserviced (beyond CAP) keep pending=1
-        pending = pending.at[idx].set(skip_s & reflag)
-        tmin_c = tmin_c.at[idx].set(ntmin_s)
+        sp = skip_s & reflag
+        out = jnp.stack([
+            st, su, sv, ntmin_s,
+            jax.lax.bitcast_convert_type(stri, jnp.float32),
+            sp.astype(jnp.float32)], axis=1)                 # (cap, 6)
+        back = jnp.concatenate([
+            t[:, None], u[:, None], v[:, None], tmin_c[:, None],
+            jax.lax.bitcast_convert_type(tri_id, jnp.float32)[:, None],
+            pending.astype(jnp.float32)[:, None]], axis=1).at[idx].set(out)
+        t, u, v, tmin_c = (back[:, 0], back[:, 1], back[:, 2], back[:, 3])
+        tri_id = jax.lax.bitcast_convert_type(back[:, 4], jnp.int32)
+        pending = back[:, 5] > 0.5
         return (k + 1, t, tri_id, u, v, pending, tmin_c)
 
     carry = (jnp.int32(0), hit.t, hit.tri_id, hit.u, hit.v, pending0, t_min)
