@@ -536,7 +536,9 @@ def pallas_trace_tiles_inst(counts, keys, o3, d3, mm2, tris9, opaque,
 # VMEM-resident variant: the whole triangle table lives in VMEM
 # ---------------------------------------------------------------------------
 
-KBV = int(_os.environ.get("TAURAY_PKBV", "16"))  # clusters per step (vmem)
+KBV = int(_os.environ.get("TAURAY_PKBV", "8"))   # clusters per step (vmem)
+# (swept on TPU: TILE=32/KBV=8 beats 16/32-cluster steps and 8/16-ray
+# tiles on camera, incoherent and shadow waves — scripts/trace_sweep.py)
 BKV = KBV * CLUSTER
 # VMEM budget for the resident triangle table: the packed table is
 # C * 9 * 128 * 4 B = 4.5 KB/cluster; rays/out/meta scratch need ~1 MB.

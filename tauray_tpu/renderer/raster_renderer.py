@@ -43,9 +43,18 @@ class RasterRenderer(Renderer):
     def _build_shadow_maps(self):
         opt = self.opt
         center = self.arrays.tri_pos.reshape(-1, 3).mean(axis=0)
+        # cascades center on the mean camera position (reference:
+        # shadow_map.cc track_cameras)
+        vps = self.viewports()
+        cam_pos = None
+        if vps:
+            cam_pos = np.mean([np.asarray(t.get_global_position(),
+                                          np.float32)
+                               for _, t in vps], axis=0)
         self.shadow_maps = build_shadow_maps(
             self.arrays, self.bvh, opt, center,
-            device_scene=getattr(self, "device_scene", None))
+            device_scene=getattr(self, "device_scene", None),
+            cam_pos=cam_pos)
         # host-side light -> map-id table
         if self.shadow_maps is not None:
             idx = np.asarray(self.shadow_maps.light_index)
@@ -99,7 +108,8 @@ class RasterRenderer(Renderer):
                 self.arrays.environment_map is not None,
                 getattr(self.arrays, "any_blend_materials", False),
                 int(opt.pcss), float(opt.pcss_minimum_radius),
-                bool(opt.use_probe_visibility), sample_offset)
+                bool(opt.use_probe_visibility), sample_offset,
+                max(int(opt.shadow_map_cascades), 1))
 
         # MSAA (reference: rr_opt.msaa_samples = opt.samples_per_pixel,
         # src/tauray.cc:571): sample count from --samples-per-pixel at

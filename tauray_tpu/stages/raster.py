@@ -92,7 +92,7 @@ def raster_background(scene: DeviceScene, cam: CameraUniforms, width: int,
                                    "has_alpha", "sh_order", "has_sh",
                                    "has_envmap", "has_blend",
                                    "pcss_samples", "pcss_min_radius",
-                                   "probe_vis"))
+                                   "probe_vis", "shadow_cascades"))
 def render_raster(scene: DeviceScene, bvh, cam: CameraUniforms,
                   prev_cam: CameraUniforms, shadow_maps: Optional[ShadowMaps],
                   map_table, sh_coefficients, brdf_lut, width: int, height: int,
@@ -101,7 +101,8 @@ def render_raster(scene: DeviceScene, bvh, cam: CameraUniforms,
                   sh_order: int = 2, has_sh: bool = False,
                   has_envmap: bool = False, has_blend: bool = False,
                   pcss_samples: int = 32, pcss_min_radius: float = 0.0,
-                  probe_vis: bool = False, sample_offset=None):
+                  probe_vis: bool = False, sample_offset=None,
+                  shadow_cascades: int = 1):
     """Returns dict of G-buffer images, each (V, H, W, C)."""
     from ..ops.trace_utils import trace_alpha
     V, H, W = n_views, height, width
@@ -150,7 +151,8 @@ def render_raster(scene: DeviceScene, bvh, cam: CameraUniforms,
                     v.pos, pcf_samples,
                     ndotl=jnp.abs(jnp.sum(v.mapped_normal * ldir, -1)),
                     screen_xy=pix, pcss_samples=pcss_samples,
-                    pcss_minimum_radius=pcss_min_radius)
+                    pcss_minimum_radius=pcss_min_radius,
+                    cascades=shadow_cascades)
             facing = jnp.sum(v.hard_normal * ldir, -1) > 0
             vis = jnp.where(facing, vis, 0.0)
             contrib = jnp.where(active, 1.0, 0.0) * vis

@@ -43,6 +43,9 @@ class ShadowMaps(NamedTuple):
     min_bias: jnp.ndarray    # (L,)
     max_bias: jnp.ndarray    # (L,)
     pcf_radius: jnp.ndarray  # (L, 2): reference sm.radius semantics
+    cascade_count: jnp.ndarray  # (L,) cascades remaining from this layer
+    #   (directional layer k of an n-cascade group stores n - k; spot /
+    #    cube-face layers store 1)
     resolution: int
 
 
@@ -65,7 +68,8 @@ def _look_at(origin, direction):
 
 
 def build_shadow_maps(arrays, tracer, opt, scene_center=None,
-                      device_scene=None) -> Optional[ShadowMaps]:
+                      device_scene=None,
+                      cam_pos=None) -> Optional[ShadowMaps]:
     """Ray-cast depth maps for all shadow-casting lights. Bias defaults
     mirror auto_assign_shadow_maps (reference: src/tauray.cc:441-454).
 
@@ -76,29 +80,54 @@ def build_shadow_maps(arrays, tracer, opt, scene_center=None,
     `device_scene` to enable the alpha texture fetch."""
     res = min(opt.shadow_map_resolution, 2048)
     views, kinds, params, lidx = [], [], [], []
-    min_biases, max_biases, radii = [], [], []
+    min_biases, max_biases, radii, casc = [], [], [], []
     center = (np.zeros(3, np.float32) if scene_center is None
               else np.asarray(scene_center, np.float32))
 
     area_size = 2.0 * opt.shadow_map_radius
+    ncasc = max(int(getattr(opt, "shadow_map_cascades", 1) or 1), 1)
     for i in range(arrays.dir_count):
         d = arrays.dl_dir[i]
         origin = center - d * opt.shadow_map_depth * 0.5
-        views.append(_look_at(origin, d))
-        kinds.append(0)
-        params.append([opt.shadow_map_radius, opt.shadow_map_radius,
-                       0.0, opt.shadow_map_depth])
-        lidx.append(-1 - i)
-        # reference scales directional biases to be depth-range
-        # independent (scene_stage.cc:521 bias_scale = 20/|range| with
-        # range = 2*depth, then applied in [-1,1] NDC). In world units
-        # that is bias * 20/(2*depth) * depth = bias * 10.
-        min_biases.append(opt.shadow_map_bias / 5.0 * 10.0)
-        max_biases.append(opt.shadow_map_bias * 10.0)
-        # sun angular radius -> PCF radius in uv (reference:
-        # scene_stage.cc:527 tan(radians(angle))/area_size)
+        base_view = _look_at(origin, d)
+        # cascades center on the mean camera position in light space
+        # (reference: shadow_map.cc track_cameras cam_light_pos), each
+        # level covering 2x the previous area, offsets snapped to the
+        # level's texel grid (scene_stage.cc align_cascade)
+        if cam_pos is not None:
+            cl = base_view[:3, :3] @ np.asarray(cam_pos, np.float32) + \
+                base_view[:3, 3]
+            cam_xy = cl[:2]
+        else:
+            cam_xy = np.zeros(2, np.float32)
         ang = math.acos(min(max(float(arrays.dl_dir_cutoff[i]), -1), 1))
-        radii.append([math.tan(ang) / max(area_size, 1e-6)] * 2)
+        for k in range(ncasc):
+            scale = 2.0 ** k
+            step = (area_size * scale) / res
+            off = np.round(cam_xy / step) * step
+            view = base_view.copy()
+            view[0, 3] -= off[0]
+            view[1, 3] -= off[1]
+            views.append(view)
+            kinds.append(0)
+            params.append([opt.shadow_map_radius * scale,
+                           opt.shadow_map_radius * scale,
+                           0.0, opt.shadow_map_depth])
+            lidx.append(-1 - i)
+            # reference scales directional biases to be depth-range
+            # independent (scene_stage.cc:521 bias_scale = 20/|range|
+            # with range = 2*depth, then applied in [-1,1] NDC). In
+            # world units that is bias * 20/(2*depth) * depth =
+            # bias * 10. Cascade k scales bias by sqrt(2^k)
+            # (scene_stage.cc:559 c.bias_scale).
+            bs = math.sqrt(scale)
+            min_biases.append(opt.shadow_map_bias / 5.0 * 10.0 * bs)
+            max_biases.append(opt.shadow_map_bias * 10.0 * bs)
+            # sun angular radius -> PCF radius in uv (reference:
+            # scene_stage.cc:527 tan(radians(angle))/area_size)
+            radii.append([math.tan(ang) / max(area_size * scale,
+                                              1e-6)] * 2)
+            casc.append(ncasc - k)
 
     for i in range(arrays.point_count):
         near = 0.01
@@ -113,6 +142,7 @@ def build_shadow_maps(arrays, tracer, opt, scene_center=None,
             min_biases.append(0.005)
             max_biases.append(opt.shadow_map_bias * 2)
             radii.append([float(arrays.pl_radius[i])] * 2)
+            casc.append(1)
         else:  # omni point light: 6 cube faces
             dirs = [(1, 0, 0), (-1, 0, 0), (0, 1, 0), (0, -1, 0),
                     (0, 0, 1), (0, 0, -1)]
@@ -125,6 +155,7 @@ def build_shadow_maps(arrays, tracer, opt, scene_center=None,
                 min_biases.append(0.005)
                 max_biases.append(opt.shadow_map_bias * 2)
                 radii.append([float(arrays.pl_radius[i])] * 2)
+                casc.append(1)
 
     if not views:
         return None
@@ -181,6 +212,7 @@ def build_shadow_maps(arrays, tracer, opt, scene_center=None,
         min_bias=jnp.asarray(np.array(min_biases, np.float32)),
         max_bias=jnp.asarray(np.array(max_biases, np.float32)),
         pcf_radius=jnp.asarray(np.array(radii, np.float32)),
+        cascade_count=jnp.asarray(np.array(casc, np.int32)),
         resolution=res)
 
 
@@ -270,14 +302,42 @@ def _bilinear_compare(depth_map, mi, x, y, z_cmp, res):
 
 def pcf_visibility(maps: ShadowMaps, map_id, world_pos,
                    pcf_samples: int = 64, ndotl=None, screen_xy=None,
-                   pcss_samples: int = 32, pcss_minimum_radius: float = 0.0):
+                   pcss_samples: int = 32, pcss_minimum_radius: float = 0.0,
+                   cascades: int = 1):
     """Percentage-closer soft shadows (reference:
     shader/shadow_mapping.glsl calc_directional_shadow /
     calc_point_shadow). map_id: (R,), world_pos: (R, 3), screen_xy:
-    (R, 2) pixel coords for the rotation hash (None = fixed rotation)."""
+    (R, 2) pixel coords for the rotation hash (None = fixed rotation).
+    cascades: static upper bound on directional cascade layers
+    (--shadow-map-cascades); the first layer whose bounds (with a
+    2*pcf-radius margin) contain the point wins (reference:
+    shadow_mapping.glsl find_cascade). Per-layer bias/radius scaling is
+    baked in at build time."""
     res = maps.resolution
     R = world_pos.shape[0]
     mi = jnp.maximum(map_id, 0)
+
+    if cascades > 1:
+        def _in_margin(ml):
+            vw = maps.view[ml]
+            pl = jnp.einsum("rij,rj->ri", vw[:, :3, :3], world_pos) + \
+                vw[:, :3, 3]
+            prm = maps.params[ml]
+            uu = pl[:, 0] / prm[:, 0]
+            vv = -pl[:, 1] / prm[:, 1]
+            rad = maps.pcf_radius[ml][:, 0]
+            return (jnp.abs(uu) < 1 - 2 * rad) & \
+                (jnp.abs(vv) < 1 - 2 * rad)
+        found = _in_margin(mi) | (maps.proj_kind[mi] == 1)
+        sel = mi
+        for k in range(1, cascades):
+            valid = k < maps.cascade_count[mi]
+            cand = jnp.where(valid, mi + k, mi)
+            take = _in_margin(cand) & valid & ~found
+            sel = jnp.where(take, cand, sel)
+            found = found | take
+        mi = sel
+
     view = maps.view[mi]                        # (R, 4, 4)
     p_light = jnp.einsum("rij,rj->ri", view[:, :3, :3], world_pos) + \
         view[:, :3, 3]
