@@ -39,12 +39,13 @@ def main():
         c = [x.get("v") for x in r["c"]]
         if c[1] != "Device" or c[2] == "IDLE":
             continue
-        rows.append((float(c[7] or 0) / 1000, str(c[2])))
+        rows.append((float(c[7] or 0) / 1000,
+                     " | ".join(str(c[i])[:60] for i in (0, 2))))
     rows.sort(reverse=True)
     tot = sum(t for t, _ in rows)
     print(f"total device {tot:.1f} ms")
-    for t, op in rows[:25]:
-        print(f"  {t:8.2f} ms  {op[:110]}")
+    for t, op in rows[:30]:
+        print(f"  {t:8.2f} ms  {op[:130]}")
 
 
 if __name__ == "__main__":

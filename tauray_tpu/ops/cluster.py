@@ -190,6 +190,52 @@ def _median_order(centroids, ids) -> np.ndarray:
     return np.concatenate(out)
 
 
+def _sah_order(tri_pos, ids) -> np.ndarray:
+    """Top-down splits like _median_order, but axis AND cut chosen by
+    surface-area cost over CLUSTER-aligned cuts: cost(k) = SA(prefix
+    AABB)*k + SA(suffix AABB)*(n-k) on the coordinate-sorted list.
+    Measured vs median split on test.glb waves: 35% fewer per-tile
+    cluster activations on camera waves, 12% on bounce waves
+    (scripts/cluster_lab.py)."""
+    centroids = tri_pos.mean(axis=1)
+    tlo = tri_pos.min(axis=1)
+    thi = tri_pos.max(axis=1)
+    out = []
+    stack = [np.asarray(ids)]
+    while stack:
+        cur = stack.pop()
+        n = len(cur)
+        if n <= CLUSTER:
+            out.append(cur)
+            continue
+        best = None
+        for ax in range(3):
+            o = cur[np.argsort(centroids[cur, ax], kind="stable")]
+            lo = tlo[o]
+            hi = thi[o]
+            pre_lo = np.minimum.accumulate(lo)
+            pre_hi = np.maximum.accumulate(hi)
+            suf_lo = np.minimum.accumulate(lo[::-1])[::-1]
+            suf_hi = np.maximum.accumulate(hi[::-1])[::-1]
+
+            def sa(lo_, hi_):
+                dd = np.maximum(hi_ - lo_, 0)
+                return dd[:, 0] * dd[:, 1] + dd[:, 1] * dd[:, 2] + \
+                    dd[:, 2] * dd[:, 0]
+            ks = np.arange(CLUSTER, n, CLUSTER)
+            if not len(ks):
+                ks = np.array([n // 2])
+            cost = sa(pre_lo[ks - 1], pre_hi[ks - 1]) * ks + \
+                sa(suf_lo[ks], suf_hi[ks]) * (n - ks)
+            j = int(np.argmin(cost))
+            if best is None or cost[j] < best[0]:
+                best = (cost[j], o, int(ks[j]))
+        _, o, k = best
+        stack.append(o[k:])
+        stack.append(o[:k])
+    return np.concatenate(out)
+
+
 def tri_opacity(tri_instance, inst_has_alpha) -> np.ndarray:
     """(T,) bool — triangle's instance has no alpha-capable material."""
     inst = np.maximum(np.asarray(tri_instance), 0)
@@ -245,22 +291,25 @@ def build_cluster_tracer(tri_pos, tri_instance, tri_opaque=None,
         tri_alpha = np.zeros(T, bool)
     any_alpha = bool(tri_alpha.any())
 
-    builder = _os.environ.get("TAURAY_CLUSTER_BUILDER", "median")
+    builder = _os.environ.get("TAURAY_CLUSTER_BUILDER", "sah")
     order = None
-    if builder == "median":
-        # top-down recursive median split on the widest centroid axis,
-        # cut at CLUSTER multiples: produces compact, near-axis-aligned
-        # 128-tri leaves. Measured on captured test.glb waves this tests
-        # ~1.55x fewer triangles per ray than Morton-run clusters at the
-        # same tile size (scripts/trace_lab2.py), because Morton runs
-        # produce elongated, overlapping leaf AABBs.
+    if builder in ("median", "sah"):
+        # top-down recursive splits cut at CLUSTER multiples so leaves
+        # stay full. "sah" (default) picks axis+cut by surface-area
+        # cost (_sah_order); "median" splits the widest centroid axis
+        # at the middle. Both beat Morton-run clusters (elongated,
+        # overlapping leaf AABBs); SAH activates ~35%/12% fewer
+        # clusters per tile than median on camera/bounce waves
+        # (scripts/cluster_lab.py, trace_lab2.py).
         parts = []
         for a_val in (False, True):
             sel = valid & (tri_alpha == a_val)
             for g in np.unique(group[sel]) if sel.any() else []:
                 ids = np.flatnonzero(sel & (group == g))
                 if len(ids):
-                    parts.append(_median_order(centroids, ids))
+                    parts.append(_sah_order(tri_pos, ids)
+                                 if builder == "sah"
+                                 else _median_order(centroids, ids))
         if parts:
             inval = np.flatnonzero(~valid)
             order = np.concatenate(parts + ([inval] if len(inval) else []))
@@ -380,20 +429,48 @@ def _morton10_jnp(x):
     return x[..., 0] + 2 * x[..., 1] + 4 * x[..., 2]
 
 
+def _morton2_jnp(x, y):
+    """2D Morton interleave of two 10-bit uint32 grids -> 20 bits."""
+    def part(v):
+        v = (v | (v << jnp.uint32(8))) & jnp.uint32(0x00FF00FF)
+        v = (v | (v << jnp.uint32(4))) & jnp.uint32(0x0F0F0F0F)
+        v = (v | (v << jnp.uint32(2))) & jnp.uint32(0x33333333)
+        v = (v | (v << jnp.uint32(1))) & jnp.uint32(0x55555555)
+        return v
+    return part(x) | (part(y) << jnp.uint32(1))
+
+
 def _ray_sort_key(o, d, scene_min, scene_max):
-    """Coherence key: quantized direction (5 bits/axis) major, origin
-    Morton minor — measured best of {none, origin-octant, dir-origin} on
-    captured bounce/shadow waves (scripts/trace_lab.py grid): tiles of
-    near-parallel rays from nearby origins bound the union of active
-    clusters tightest under front-to-back early exit."""
-    dg = jnp.clip((d * 0.5 + 0.5) * 31.0, 0, 31).astype(jnp.uint32)
-    dk = (dg[:, 0] << jnp.uint32(10)) | (dg[:, 1] << jnp.uint32(5)) | \
-        dg[:, 2]
+    """Coherence key: CORRIDOR grouping. For near-parallel rays the
+    activated cluster set depends on the ray's 2D offset PERPENDICULAR
+    to its direction, not on the position along it — so the key is
+    coarse direction (4 bits on each non-dominant axis + dominant
+    axis/sign) major, then a 2D Morton of the origin projected onto the
+    plane perpendicular to the dominant direction axis. Measured on 1M
+    bounce waves (scripts/sortkey_lab.py): 28.8 active clusters per
+    32-ray tile vs 56.2 for the previous direction-major/origin-Morton
+    key (per-ray need: ~7.5)."""
+    ax = jnp.argmax(jnp.abs(d), axis=1).astype(jnp.uint32)
+    d1 = jnp.where(ax == 0, d[:, 1], d[:, 0])
+    d2 = jnp.where(ax == 2, d[:, 1], d[:, 2])
+    da = jnp.where(ax == 0, d[:, 0], jnp.where(ax == 1, d[:, 1],
+                                               d[:, 2]))
+
+    def q4(x):
+        return jnp.clip((x * 0.5 + 0.5) * 15.0, 0, 15).astype(jnp.uint32)
+    dk = (q4(d1) << jnp.uint32(4)) | q4(d2)
+    dk = dk | (ax << jnp.uint32(8)) | \
+        ((da < 0).astype(jnp.uint32) << jnp.uint32(10))
     ext = jnp.maximum(scene_max - scene_min, 1e-6)
     g = jnp.clip((o - scene_min) / ext * 1023.0, 0, 1023).astype(jnp.uint32)
-    # 32-bit key (TPU sorts are 32-bit): 15 direction bits | top 17
-    # morton bits (~6 bits/axis of origin locality)
-    return (dk << jnp.uint32(17)) | (_morton10_jnp(g) >> jnp.uint32(13))
+    p1 = jnp.where(ax == 0, g[:, 1], g[:, 0])
+    p2 = jnp.where(ax == 2, g[:, 1], g[:, 2])
+    pa = jnp.where(ax == 0, g[:, 0], jnp.where(ax == 1, g[:, 1],
+                                               g[:, 2]))
+    # 32-bit key (TPU sorts are 32-bit): 11 direction bits | 20 bits of
+    # perpendicular-plane Morton | 1 along-axis bit
+    return (dk << jnp.uint32(21)) | (_morton2_jnp(p1, p2) <<
+                                     jnp.uint32(1)) | (pa >> jnp.uint32(9))
 
 
 def _slab_hit_soa(ox, oy, oz, ix, iy, iz, t_min, t_max, bmin, bmax):
@@ -791,13 +868,12 @@ def build_instanced_tracer(mesh_tris, mesh_of_inst, inst_model,
     bool (False = alpha-capable material); tri_starts: (I,) world-soup
     triangle offset per instance (to_orig mapping).
     Returns (tracer, None)."""
-    # per-mesh object-space clusters (median split)
+    # per-mesh object-space clusters (SAH split, see build_cluster_tracer)
     mesh_builds = []
     for tris in mesh_tris:
         tris = np.asarray(tris, np.float32)
         T = tris.shape[0]
-        cents = tris.mean(axis=1)
-        order = _median_order(cents, np.arange(T))
+        order = _sah_order(tris, np.arange(T))
         C = max((T + CLUSTER - 1) // CLUSTER, 1)
         total = C * CLUSTER
         perm = np.full(total, order[0] if T else 0, np.int64)

@@ -715,7 +715,6 @@ def pallas_trace_tiles_vm(counts, keys, o3, d3, mm2, tris9, opaque,
     """VMEM-resident counterpart of pallas_trace_tiles (same contract)."""
     n_tiles = counts.shape[0]
     assert n_tiles % G == 0
-    keys2d = keys.reshape(n_tiles, cpad)
     keys = keys.reshape(-1)
     C = tris9.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -751,10 +750,15 @@ def pallas_trace_tiles_vm(counts, keys, o3, d3, mm2, tris9, opaque,
     raw = jax.lax.bitcast_convert_type(out[:, :, 1], jnp.int32)
     if not any_hit:
         # slot -> global id: slot indexes this tile's sorted key row
-        # (winner slots always index real keys: slot_ok masks padding)
+        # (winner slots always index real keys: slot_ok masks padding).
+        # LINEAR flat gather: take_along_axis on (n_tiles, cpad) takes
+        # XLA's multi-dim gather path (~22 ms/wave measured); flattening
+        # makes it a plain element gather (~7 ms).
         slot = jnp.maximum(raw, 0) // CLUSTER
-        key = jnp.take_along_axis(keys2d, slot, axis=1)
-        cid = jnp.minimum(key & idmask, n_clusters - 1)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (n_tiles, TILE), 0)
+        key = keys[rows.reshape(-1) * cpad + slot.reshape(-1)]
+        cid = jnp.minimum(key & idmask, n_clusters - 1).reshape(
+            n_tiles, TILE)
         raw = jnp.where(raw < 0, -1, cid * CLUSTER + raw % CLUSTER)
     tid = raw.reshape(-1)
     t = jnp.where(tid < 0, jnp.inf, t)

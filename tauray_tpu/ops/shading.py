@@ -11,6 +11,7 @@ All functions operate on flat ray batches (R, ...).
 
 from __future__ import annotations
 
+import os as _os
 from typing import NamedTuple, Optional, Tuple
 
 import jax
@@ -175,16 +176,58 @@ def sample_texture_quad(scene: DeviceScene, tex_id, size, uv, block=None):
 
 
 def sample_texture_lod(scene: DeviceScene, tex_id, uv, lod):
-    """Trilinear-ish mip sample: bilinear at round(lod) (reference mips:
-    src/texture.cc generate_mipmaps + hardware trilinear; nearest-level
-    keeps it to ONE gather). lod: (R,) float."""
+    """TRUE trilinear mip sample (reference: src/texture.cc
+    generate_mipmaps + the sampler's hardware trilinear): bilinear at
+    floor(lod) and floor(lod)+1, blended by the lod fraction. Two row
+    gathers; TAURAY_TRILINEAR=0 falls back to bilinear-at-nearest-mip
+    (one gather, visible LOD popping). lod: (R,) float."""
     tid = jnp.maximum(tex_id.astype(jnp.int32), 0)
-    from ..scene.device import MAX_MIPS
-    level = jnp.clip(jnp.round(lod).astype(jnp.int32), 0,
-                     scene.tex_nmips[tid] - 1)
-    meta = scene.tex_meta[tid, level].astype(jnp.float32)    # (R, 4)
-    return sample_texture_quad(scene, tex_id, meta[:, 2:4], uv,
-                               block=meta[:, 0:2])
+    nmips = scene.tex_nmips[tid]
+    if _os.environ.get("TAURAY_TRILINEAR", "1") == "0":
+        level = jnp.clip(jnp.round(lod).astype(jnp.int32), 0, nmips - 1)
+        meta = scene.tex_meta[tid, level].astype(jnp.float32)  # (R, 4)
+        return sample_texture_quad(scene, tex_id, meta[:, 2:4], uv,
+                                   block=meta[:, 0:2])
+    l0 = jnp.clip(jnp.floor(lod).astype(jnp.int32), 0, nmips - 1)
+    l1 = jnp.minimum(l0 + 1, nmips - 1)
+    f = jnp.clip(lod - l0.astype(jnp.float32), 0.0, 1.0)[:, None]
+    m0 = scene.tex_meta[tid, l0].astype(jnp.float32)
+    m1 = scene.tex_meta[tid, l1].astype(jnp.float32)
+    c0 = sample_texture_quad(scene, tex_id, m0[:, 2:4], uv,
+                             block=m0[:, 0:2])
+    c1 = sample_texture_quad(scene, tex_id, m1[:, 2:4], uv,
+                             block=m1[:, 0:2])
+    # when l1 == l0 (last level) the blend is a no-op by construction
+    return c0 * (1 - f) + c1 * f
+
+
+def ray_cone_lod(scene: DeviceScene, v: "VertexData", footprint_world,
+                 view_dir):
+    """log2 of the UV-space pixel footprint at the hit, from a ray-cone
+    width in world units (the ray-cast raster's analogue of fragment
+    derivatives; the reference raster samples with implicit derivatives
+    + hardware trilinear, shader/forward.frag). Texel density comes from
+    the hit triangle's uv-area/world-area ratio (same tri_packed row the
+    vertex interpolation gathered; XLA CSEs the gather); grazing
+    incidence widens the footprint by 1/|n.d| (clamped)."""
+    from ..scene.device import TP_HARDN, TP_POS, TP_UV
+    g = scene.tri_packed[jnp.maximum(v.primitive_id, 0)]
+    p0 = g[:, TP_POS:TP_POS + 3]
+    p1 = g[:, TP_POS + 3:TP_POS + 6]
+    p2 = g[:, TP_POS + 6:TP_POS + 9]
+    u0 = g[:, TP_UV:TP_UV + 2]
+    u1 = g[:, TP_UV + 2:TP_UV + 4]
+    u2 = g[:, TP_UV + 4:TP_UV + 6]
+    wa = jnp.linalg.norm(jnp.cross(p1 - p0, p2 - p0), axis=-1)
+    e1 = u1 - u0
+    e2 = u2 - u0
+    ua = jnp.abs(e1[:, 0] * e2[:, 1] - e1[:, 1] * e2[:, 0])
+    density = jnp.sqrt(ua / jnp.maximum(wa, 1e-20))
+    n = g[:, TP_HARDN:TP_HARDN + 3]
+    spread = 1.0 / jnp.clip(
+        jnp.abs(jnp.sum(n * view_dir, axis=-1)), 0.1, 1.0)
+    return jnp.log2(jnp.maximum(
+        footprint_world * density * spread, 1e-20))
 
 
 def inverse_srgb_correction(col):
@@ -295,7 +338,8 @@ def interpolate_vertex(scene: DeviceScene, tri_id, bary_u, bary_v, view_dir,
 
 
 def sample_material(scene: DeviceScene, v: VertexData,
-                    slots: Optional[Tuple[bool, ...]] = None
+                    slots: Optional[Tuple[bool, ...]] = None,
+                    lod_uv=None
                     ) -> Tuple[SampledMaterial, VertexData]:
     """(reference: shader/scene.glsl sample_material). Returns material and
     vertex data with normal mapping applied. ONE inst_packed row gather +
@@ -303,7 +347,13 @@ def sample_material(scene: DeviceScene, v: VertexData,
 
     slots: static per-scene (albedo, mr, normal, emission) "any material
     binds this slot" flags — unbound slots skip their atlas gather (and
-    the normal-mapping math) at compile time."""
+    the normal-mapping math) at compile time.
+
+    lod_uv: optional (R,) log2 UV footprint (ray_cone_lod) — the raster
+    path passes it to get the reference's fragment-derivative trilinear
+    filtering (scene.glsl USE_EXPLICIT_GRADIENTS textureGrad); ray
+    traced paths leave it None, matching the reference's base-level
+    texture() in non-fragment stages."""
     from ..scene.device import (IP_ALBEDO, IP_CUTOFF, IP_DOUBLE, IP_TEXBLOCK,
                                 IP_EMISSION, IP_IOR, IP_METAL,
                                 IP_NORMAL_F, IP_ROUGH, IP_STMUL,
@@ -320,6 +370,11 @@ def sample_material(scene: DeviceScene, v: VertexData,
         if not slots[slot]:
             return jnp.ones((m.shape[0], 4), jnp.float32)
         size = m[:, IP_TEXSIZE + 2 * slot:IP_TEXSIZE + 2 * slot + 2]
+        if lod_uv is not None:
+            # texture-space lod: footprint in texels of THIS texture
+            lod = lod_uv + 0.5 * jnp.log2(jnp.maximum(
+                size[:, 0] * size[:, 1], 1.0))
+            return sample_texture_lod(scene, tex[:, slot], v.uv, lod)
         blk = m[:, IP_TEXBLOCK + 2 * slot:IP_TEXBLOCK + 2 * slot + 2]
         return sample_texture_quad(scene, tex[:, slot], size, v.uv,
                                    block=blk)

@@ -23,7 +23,8 @@ from ..ops.sampling import (create_tangent_space, normalize,
                             to_tangent_space, view_to_tangent_space)
 from ..ops.sh import eval_ggx_specular, eval_irradiance
 from ..ops.shading import (get_camera_projection, get_screen_camera_ray,
-                           interpolate_vertex, sample_material)
+                           interpolate_vertex, ray_cone_lod,
+                           sample_material)
 from ..scene.device import CameraUniforms, DeviceScene
 from .shadow_map import ShadowMaps, pcf_visibility
 
@@ -119,6 +120,18 @@ def render_raster(scene: DeviceScene, bvh, cam: CameraUniforms,
                       jnp.full(R, min_ray_dist, jnp.float32),
                       jnp.full(R, jnp.inf, jnp.float32), 1e-4, has_alpha,
                       need_uv=False)
+    # x-neighbor ray differentials for the ray-cone texture LOD (the
+    # reference raster's fragment derivatives; shading passes lod_uv so
+    # sample_material filters trilinearly like the hardware sampler)
+    d4 = d.reshape(V, H, W, 3)
+    o4 = origin.reshape(V, H, W, 3)
+    ddx = jnp.concatenate(
+        [d4[:, :, 1:] - d4[:, :, :-1], d4[:, :, -1:] - d4[:, :, -2:-1]],
+        axis=2).reshape(R, 3)
+    dox = jnp.concatenate(
+        [o4[:, :, 1:] - o4[:, :, :-1], o4[:, :, -1:] - o4[:, :, -2:-1]],
+        axis=2).reshape(R, 3)
+
     def shade(hit):
         """Forward shading of one hit layer (reference:
         shader/forward.frag); returns (rgb incl. skybox on miss,
@@ -126,7 +139,10 @@ def render_raster(scene: DeviceScene, bvh, cam: CameraUniforms,
         miss = hit.tri_id < 0
         v = interpolate_vertex(scene, hit.tri_id, hit.u, hit.v, d,
                                ray_origin=origin)
-        mat, v = sample_material(scene, v)
+        fp = jnp.linalg.norm(
+            dox + jnp.where(miss, 1.0, hit.t)[:, None] * ddx, axis=-1)
+        mat, v = sample_material(scene, v,
+                                 lod_uv=ray_cone_lod(scene, v, fp, d))
 
         t, b, n = create_tangent_space(v.mapped_normal)
         shading_view = to_tangent_space(-d, t, b, n)
