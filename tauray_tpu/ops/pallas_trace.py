@@ -559,7 +559,8 @@ def _kernel_vm(counts_ref,            # scalar prefetch (n_tiles,)
                opq_ref,               # (opad,) i32 HBM cluster opacity
                out_ref,               # (G, TILE, 2) VMEM block
                meta_scr, opq_scr, meta_sem, opq_sem,
-               *, n_clusters: int, cpad: int, idmask: int, any_hit: bool):
+               *, n_clusters: int, cpad: int, idmask: int, any_hit: bool,
+               debug_steps: bool = False):
     """Traversal with the WHOLE cluster table VMEM-resident: scenes up
     to ~10 MB of packed triangles (262k tris) skip the per-step DMA
     machinery entirely — no double buffering, no tri semaphores, and
@@ -695,12 +696,20 @@ def _kernel_vm(counts_ref,            # scalar prefetch (n_tiles,)
             done = jnp.all(ray_done)
             return (step + 1, done, best_t, best_id, best_opq)
 
-        _, _, bt, bi, _ = jax.lax.while_loop(
+        fs, _, bt, bi, _ = jax.lax.while_loop(
             cond, body,
             (jnp.int32(0), steps <= 0, init_t, init_id, init_opq))
 
-        out_ref[g, :, 0:1] = bt
-        out_ref[g, :, 1:2] = jax.lax.bitcast_convert_type(bi, jnp.float32)
+        if debug_steps:
+            # diagnostic: (visited steps, active count) per tile
+            out_ref[g, :, 0:1] = jnp.full((TILE, 1),
+                                          fs.astype(jnp.float32))
+            out_ref[g, :, 1:2] = jnp.full((TILE, 1),
+                                          count.astype(jnp.float32))
+        else:
+            out_ref[g, :, 0:1] = bt
+            out_ref[g, :, 1:2] = jax.lax.bitcast_convert_type(
+                bi, jnp.float32)
         return 0
 
     jax.lax.fori_loop(0, G, process_tile, 0)
@@ -708,10 +717,11 @@ def _kernel_vm(counts_ref,            # scalar prefetch (n_tiles,)
 
 @partial(jax.jit,
          static_argnames=("n_clusters", "cpad", "idmask", "any_hit",
-                          "interpret"))
+                          "interpret", "debug_steps"))
 def pallas_trace_tiles_vm(counts, keys, o3, d3, mm2, tris9, opaque,
                           n_clusters: int, cpad: int, idmask: int,
-                          any_hit: bool = False, interpret: bool = False):
+                          any_hit: bool = False, interpret: bool = False,
+                          debug_steps: bool = False):
     """VMEM-resident counterpart of pallas_trace_tiles (same contract)."""
     n_tiles = counts.shape[0]
     assert n_tiles % G == 0
@@ -742,10 +752,12 @@ def pallas_trace_tiles_vm(counts, keys, o3, d3, mm2, tris9, opaque,
     out_shape = jax.ShapeDtypeStruct((n_tiles, TILE, 2), jnp.float32)
     out = pl.pallas_call(
         partial(_kernel_vm, n_clusters=n_clusters, cpad=cpad,
-                idmask=idmask, any_hit=any_hit),
+                idmask=idmask, any_hit=any_hit, debug_steps=debug_steps),
         out_shape=out_shape, grid_spec=grid_spec,
         interpret=interpret,
     )(counts, keys, o3, d3, mm2, tris9, opaque)
+    if debug_steps:
+        return out[:, 0, 0], out[:, 0, 1]      # (n_tiles,) steps, counts
     t = out[:, :, 0].reshape(-1)
     raw = jax.lax.bitcast_convert_type(out[:, :, 1], jnp.int32)
     if not any_hit:
