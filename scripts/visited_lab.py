@@ -67,7 +67,7 @@ def _steps_jit(tracer, o, d, t_min, t_max, any_hit=False):
     d3 = d.reshape(n_tiles, PT, 3)
     mm2 = jnp.stack([t_min, t_max], axis=-1).reshape(n_tiles, PT, 2)
     return pallas_trace_tiles_vm(
-        counts, keys, o3, d3, mm2, tracer.tris9, opaque, C, cpad,
+        counts, keys, o3, d3, mm2, tracer.tris12, opaque, C, cpad,
         idmask, any_hit=any_hit, debug_steps=True)
 
 

@@ -33,7 +33,7 @@ def main():
                                         arrays.tri_instance)
     C = tracer.n_clusters
     print(f"scene {scene_path}: {arrays.tri_pos.shape[0]} tris, "
-          f"{C} clusters, table {C*9*128*4/1e6:.1f} MB, "
+          f"{C} clusters, BW table {C*12*128*4/1e6:.1f} MB, "
           f"vm_fits={ptr.vm_fits(C)}")
 
     rng = np.random.default_rng(0)
@@ -75,19 +75,23 @@ def main():
                   f"{int((outs[name][1] >= 0).sum())}")
         td, idd, _ = outs["dma"]
         tv, idv, _ = outs["vm"]
+        # the VM kernel uses Baldwin-Weber arithmetic, the DMA kernel
+        # Möller-Trumbore: same roots up to fp rounding, so compare
+        # with a small tolerance and allow winner flips only between
+        # (near-)equidistant triangles
         t_match = np.allclose(np.where(np.isfinite(td), td, 0),
                               np.where(np.isfinite(tv), tv, 0),
-                              rtol=1e-6, atol=1e-6)
+                              rtol=3e-5, atol=1e-5)
         id_match = float((idd == idv).mean())
         print(f"  any_hit={any_hit}: t allclose={t_match}, "
               f"id agreement={id_match:.4f}")
         if not any_hit:
             assert t_match, "closest-hit t mismatch"
-            mism = idd != idv
+            mism = (idd != idv) & np.isfinite(td) & np.isfinite(tv)
             if mism.any():
-                # distinct ids with identical t = coplanar dup tris; ok
-                assert np.allclose(td[mism], tv[mism], rtol=1e-5), \
+                assert np.allclose(td[mism], tv[mism], rtol=1e-4), \
                     f"{int(mism.sum())} id mismatches with different t"
+            assert (np.isfinite(td) == np.isfinite(tv)).mean() > 0.9999
     print("OK")
 
 

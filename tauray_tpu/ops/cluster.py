@@ -52,7 +52,8 @@ TILE_CHUNK = int(_os.environ.get("TAURAY_TILE_CHUNK", "64"))
 class ClusterTracer:
     def __init__(self, v0, e1, e2, tri_valid, to_orig, cmin, cmax,
                  n_clusters: int, tris9=None, tvalid_f=None, opaque=None,
-                 tris_flat=None, alpha_base: Optional[int] = None):
+                 tris_flat=None, alpha_base: Optional[int] = None,
+                 tris12=None):
         # (C, CLUSTER, 3) triangle blocks in cluster-major layout
         self.v0 = v0
         self.e1 = e1
@@ -71,6 +72,11 @@ class ClusterTracer:
         self.opaque = opaque
         # (C*CLUSTER, 9) [v0|e1|e2] rows for the barycentric post-pass
         self.tris_flat = tris_flat
+        # (C, 12, 1, CLUSTER) Baldwin-Weber rows [n | n.v0 | r1 | r1.v0 |
+        # r2 | r2.v0] for the VMEM-resident kernel (~27 VPU ops/test vs
+        # Möller-Trumbore's ~40; measured 43 -> 54 G tests/s,
+        # scripts/kernel_lab5.py)
+        self.tris12 = tris12
         # first slot index of the alpha-capable triangle range:
         # build_cluster_tracer segregates alpha-capable triangles into the
         # TAIL clusters, so "might be transparent" is the arithmetic test
@@ -81,13 +87,13 @@ class ClusterTracer:
     def tree_flatten(self):
         return ((self.v0, self.e1, self.e2, self.tri_valid, self.to_orig,
                  self.cmin, self.cmax, self.tris9, self.tvalid_f,
-                 self.opaque, self.tris_flat),
+                 self.opaque, self.tris_flat, self.tris12),
                 (self.n_clusters, self.alpha_base))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children[:7], aux[0], *children[7:],
-                   alpha_base=aux[1])
+        return cls(*children[:7], aux[0], *children[7:11],
+                   alpha_base=aux[1], tris12=children[11])
 
     def with_pallas_layout(self):
         C = self.n_clusters
@@ -101,10 +107,28 @@ class ClusterTracer:
         # row gather per ray instead of three two-level gathers
         tris_flat = jnp.concatenate(
             [self.v0, self.e1, self.e2], axis=-1).reshape(-1, 9)
+        # Baldwin-Weber rows: n = e1 x e2; r1/r2 = rows of [e1 e2 n]^-1
+        # (r1 = (e2 x n)/|n|^2, r2 = (n x e1)/|n|^2), so a hit point p
+        # gives u = r1.p - r1.v0, v = r2.p - r2.v0 and the plane test is
+        # t = (n.v0 - n.o)/(n.d). Degenerate triangles get n = r = 0 and
+        # mask out via den == 0.
+        n = jnp.cross(self.e1, self.e2)
+        det = jnp.sum(n * n, axis=-1, keepdims=True)
+        inv_det = jnp.where(det > 0, 1.0 / jnp.where(det == 0, 1.0, det),
+                            0.0)
+        r1 = jnp.cross(self.e2, n) * inv_det
+        r2 = jnp.cross(n, self.e1) * inv_det
+
+        def dotv0(x):
+            return jnp.sum(x * self.v0, axis=-1, keepdims=True)
+        bw = jnp.concatenate([n, dotv0(n), r1, dotv0(r1), r2, dotv0(r2)],
+                             axis=-1)                  # (C, CLUSTER, 12)
+        tris12 = jnp.swapaxes(bw, 1, 2)[:, :, None, :]
         return ClusterTracer(self.v0, self.e1, self.e2, self.tri_valid,
                              self.to_orig, self.cmin, self.cmax,
                              self.n_clusters, tris9, tvalid_f, self.opaque,
-                             tris_flat, alpha_base=self.alpha_base)
+                             tris_flat, alpha_base=self.alpha_base,
+                             tris12=tris12)
 
     # ------------------------------------------------------------------
     def trace(self, origins, dirs, t_min, t_max, any_hit: bool = False,
@@ -724,14 +748,18 @@ def _trace_padded_pallas(tracer: ClusterTracer, o, d, t_min, t_max,
     o3 = o.reshape(n_tiles, PT, 3)
     d3 = d.reshape(n_tiles, PT, 3)
     mm2 = jnp.stack([t_min, t_max], axis=-1).reshape(n_tiles, PT, 2)
-    # whole-table-in-VMEM kernel when the packed triangles fit (~10 MB
-    # budget, Sponza-class scenes included); DMA-streaming kernel above
-    # that (measured +10% at KB=8 and it makes KB=16 profitable:
-    # scripts/kernel_lab3.py / kernel_lab4.py)
-    kfn = pallas_trace_tiles_vm if vm_fits(C) else pallas_trace_tiles
-    t, tid = kfn(
-        counts, keys, o3, d3, mm2, tracer.tris9, opaque, C, cpad, idmask,
-        any_hit=any_hit, interpret=_PALLAS_INTERPRET)
+    # whole-table-in-VMEM kernel when the packed triangles fit (~13.5 MB
+    # budget, Sponza-class scenes included; Baldwin-Weber rows);
+    # DMA-streaming Möller-Trumbore kernel above that
+    # (scripts/kernel_lab3.py / kernel_lab4.py / kernel_lab5.py)
+    if vm_fits(C):
+        t, tid = pallas_trace_tiles_vm(
+            counts, keys, o3, d3, mm2, tracer.tris12, opaque, C, cpad,
+            idmask, any_hit=any_hit, interpret=_PALLAS_INTERPRET)
+    else:
+        t, tid = pallas_trace_tiles(
+            counts, keys, o3, d3, mm2, tracer.tris9, opaque, C, cpad,
+            idmask, any_hit=any_hit, interpret=_PALLAS_INTERPRET)
     # barycentrics post-pass: recompute u,v for the single best triangle
     # (one row gather from the packed [v0|e1|e2] table). Skipped with
     # need_uv=False — shading/alpha recompute barycentrics from rows they

@@ -540,16 +540,17 @@ KBV = int(_os.environ.get("TAURAY_PKBV", "8"))   # clusters per step (vmem)
 # (swept on TPU: TILE=32/KBV=8 beats 16/32-cluster steps and 8/16-ray
 # tiles on camera, incoherent and shadow waves — scripts/trace_sweep.py)
 BKV = KBV * CLUSTER
-# VMEM budget for the resident triangle table: the packed table is
-# C * 9 * 128 * 4 B = 4.5 KB/cluster; rays/out/meta scratch need ~1 MB.
-VM_BUDGET_MB = float(_os.environ.get("TAURAY_PVMEM_MB", "10"))
+# VMEM budget for the resident triangle table: the Baldwin-Weber table
+# is C * 12 * 128 * 4 B = 6 KB/cluster; rays/out/meta scratch need ~1 MB
+# of the ~16 MB core VMEM.
+VM_BUDGET_MB = float(_os.environ.get("TAURAY_PVMEM_MB", "13.5"))
 
 
 def vm_fits(n_clusters: int) -> bool:
     """True when a scene's packed triangle table fits the VMEM-resident
-    kernel's budget (Sponza-class 2048 clusters = 9.4 MB fits v5e's
-    16 MB alongside the ray blocks)."""
-    return n_clusters * 9 * CLUSTER * 4 <= VM_BUDGET_MB * 1e6
+    kernel's budget (Sponza-class 2116 clusters = 13 MB fits v5e's
+    ~16 MB alongside the ray blocks)."""
+    return n_clusters * 12 * CLUSTER * 4 <= VM_BUDGET_MB * 1e6
 
 
 def _kernel_vm(counts_ref,            # scalar prefetch (n_tiles,)
@@ -633,34 +634,37 @@ def _kernel_vm(counts_ref,            # scalar prefetch (n_tiles,)
             ts = [tris_ref[o] for o in orders]
             tri = jnp.concatenate(ts, axis=-1) if KBV > 1 else ts[0]
 
-            v0x = tri[0]
-            v0y = tri[1]
-            v0z = tri[2]
-            e1x = tri[3]
-            e1y = tri[4]
-            e1z = tri[5]
-            e2x = tri[6]
-            e2y = tri[7]
-            e2z = tri[8]
+            # Baldwin-Weber precomputed-transform intersection (rows
+            # built in cluster.with_pallas_layout): ~27 VPU ops/test vs
+            # Möller-Trumbore's ~40 (43 -> 54 G tests/s,
+            # scripts/kernel_lab5.py)
+            nx = tri[0]
+            ny = tri[1]
+            nz = tri[2]
+            ndot = tri[3]
+            r1x = tri[4]
+            r1y = tri[5]
+            r1z = tri[6]
+            r1d = tri[7]
+            r2x = tri[8]
+            r2y = tri[9]
+            r2z = tri[10]
+            r2d = tri[11]
 
-            hx = dy * e2z - dz * e2y
-            hy = dz * e2x - dx * e2z
-            hz = dx * e2y - dy * e2x
-            a = e1x * hx + e1y * hy + e1z * hz
-            f = jnp.where(a != 0, 1.0 / jnp.where(a == 0, 1.0, a), 0.0)
-            sx = ox - v0x
-            sy = oy - v0y
-            sz = oz - v0z
-            uu = f * (sx * hx + sy * hy + sz * hz)
-            qx = sy * e1z - sz * e1y
-            qy = sz * e1x - sx * e1z
-            qz = sx * e1y - sy * e1x
-            vv = f * (dx * qx + dy * qy + dz * qz)
-            tt = f * (e2x * qx + e2y * qy + e2z * qz)
+            den = nx * dx + ny * dy + nz * dz
+            num = ndot - (nx * ox + ny * oy + nz * oz)
+            f = jnp.where(den != 0, 1.0 / jnp.where(den == 0, 1.0, den),
+                          0.0)
+            tt = num * f
+            px = ox + tt * dx
+            py = oy + tt * dy
+            pz = oz + tt * dz
+            uu = r1x * px + r1y * py + r1z * pz - r1d
+            vv = r2x * px + r2y * py + r2z * pz - r2d
             lane_block = jax.lax.broadcasted_iota(
                 jnp.int32, (TILE, BKV), 1) // CLUSTER
             slot_ok = (step * KBV + lane_block) < count
-            hit = (a != 0) & (uu >= 0) & (vv >= 0) & (uu + vv <= 1) & \
+            hit = (den != 0) & (uu >= 0) & (vv >= 0) & (uu + vv <= 1) & \
                 (tt >= tmin) & (tt < best_t) & slot_ok
             tt = jnp.where(hit, tt, BIG)
             cand_t = jnp.min(tt, axis=1, keepdims=True)
@@ -718,15 +722,17 @@ def _kernel_vm(counts_ref,            # scalar prefetch (n_tiles,)
 @partial(jax.jit,
          static_argnames=("n_clusters", "cpad", "idmask", "any_hit",
                           "interpret", "debug_steps"))
-def pallas_trace_tiles_vm(counts, keys, o3, d3, mm2, tris9, opaque,
+def pallas_trace_tiles_vm(counts, keys, o3, d3, mm2, tris12, opaque,
                           n_clusters: int, cpad: int, idmask: int,
                           any_hit: bool = False, interpret: bool = False,
                           debug_steps: bool = False):
-    """VMEM-resident counterpart of pallas_trace_tiles (same contract)."""
+    """VMEM-resident counterpart of pallas_trace_tiles (same contract),
+    taking Baldwin-Weber rows (C, 12, 1, CLUSTER) instead of [v0|e1|e2]
+    component rows."""
     n_tiles = counts.shape[0]
     assert n_tiles % G == 0
     keys = keys.reshape(-1)
-    C = tris9.shape[0]
+    C = tris12.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_tiles // G,),
@@ -737,7 +743,7 @@ def pallas_trace_tiles_vm(counts, keys, o3, d3, mm2, tris9, opaque,
                                memory_space=pltpu.VMEM),
                   pl.BlockSpec((G, TILE, 2), lambda b, *_: (b, 0, 0),
                                memory_space=pltpu.VMEM),
-                  pl.BlockSpec((C, 9, 1, CLUSTER),
+                  pl.BlockSpec((C, 12, 1, CLUSTER),
                                lambda b, *_: (0, 0, 0, 0),
                                memory_space=pltpu.VMEM),
                   pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)],
@@ -755,7 +761,7 @@ def pallas_trace_tiles_vm(counts, keys, o3, d3, mm2, tris9, opaque,
                 idmask=idmask, any_hit=any_hit, debug_steps=debug_steps),
         out_shape=out_shape, grid_spec=grid_spec,
         interpret=interpret,
-    )(counts, keys, o3, d3, mm2, tris9, opaque)
+    )(counts, keys, o3, d3, mm2, tris12, opaque)
     if debug_steps:
         return out[:, 0, 0], out[:, 0, 1]      # (n_tiles,) steps, counts
     t = out[:, :, 0].reshape(-1)
