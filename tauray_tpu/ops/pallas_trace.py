@@ -670,25 +670,25 @@ def _kernel_vm(counts_ref,            # scalar prefetch (n_tiles,)
             cand_t = jnp.min(tt, axis=1, keepdims=True)
             arg = jnp.argmin(tt, axis=1)[:, None]
             closer = cand_t < best_t
+            # winner cluster id via per-block select chain, reusing the
+            # step's `orders` scalars. The chain costs ~5% of kernel
+            # time (kernel_lab4.py slot-vs-cid) — cheaper than the
+            # alternative slot->id map in XLA, whose 1M-element gather
+            # from the sorted-key table costs 17.5 ms/wave of pure HBM
+            # latency.
+            cid_win = jnp.zeros((TILE, 1), jnp.int32)
+            for j in range(KBV):
+                blk = arg // CLUSTER == j
+                cid_win = jnp.where(blk, orders[j], cid_win)
             if any_hit:
-                # any-hit needs the winner's opacity IN-kernel (early
-                # exit once every ray has an opaque hit), so it keeps
-                # the per-block select chain
-                cid_win = jnp.zeros((TILE, 1), jnp.int32)
+                # any-hit also needs the winner's opacity IN-kernel
+                # (early exit once every ray has an opaque hit)
                 opq_win = jnp.zeros((TILE, 1), jnp.int32)
                 for j in range(KBV):
-                    blk = arg // CLUSTER == j
-                    cid_win = jnp.where(blk, orders[j], cid_win)
-                    opq_win = jnp.where(blk, opq_scr[orders[j]], opq_win)
+                    opq_win = jnp.where(arg // CLUSTER == j,
+                                        opq_scr[orders[j]], opq_win)
                 best_opq = jnp.where(closer, opq_win, best_opq)
-                win_id = cid_win * CLUSTER + arg % CLUSTER
-            else:
-                # closest-hit keeps the winner as an ORDER SLOT (pure
-                # vector math, no select chain / SMEM rereads); the
-                # slot -> cluster-id map is one take_along_axis of the
-                # sorted key rows after the kernel (lab: kernel_lab4.py
-                # "slot" vs "cid")
-                win_id = (step * KBV) * CLUSTER + arg
+            win_id = cid_win * CLUSTER + arg % CLUSTER
             best_t = jnp.where(closer, cand_t, best_t)
             best_id = jnp.where(closer, win_id, best_id)
 
@@ -765,19 +765,6 @@ def pallas_trace_tiles_vm(counts, keys, o3, d3, mm2, tris12, opaque,
     if debug_steps:
         return out[:, 0, 0], out[:, 0, 1]      # (n_tiles,) steps, counts
     t = out[:, :, 0].reshape(-1)
-    raw = jax.lax.bitcast_convert_type(out[:, :, 1], jnp.int32)
-    if not any_hit:
-        # slot -> global id: slot indexes this tile's sorted key row
-        # (winner slots always index real keys: slot_ok masks padding).
-        # LINEAR flat gather: take_along_axis on (n_tiles, cpad) takes
-        # XLA's multi-dim gather path (~22 ms/wave measured); flattening
-        # makes it a plain element gather (~7 ms).
-        slot = jnp.maximum(raw, 0) // CLUSTER
-        rows = jax.lax.broadcasted_iota(jnp.int32, (n_tiles, TILE), 0)
-        key = keys[rows.reshape(-1) * cpad + slot.reshape(-1)]
-        cid = jnp.minimum(key & idmask, n_clusters - 1).reshape(
-            n_tiles, TILE)
-        raw = jnp.where(raw < 0, -1, cid * CLUSTER + raw % CLUSTER)
-    tid = raw.reshape(-1)
+    tid = jax.lax.bitcast_convert_type(out[:, :, 1], jnp.int32).reshape(-1)
     t = jnp.where(tid < 0, jnp.inf, t)
     return t, tid

@@ -633,11 +633,12 @@ def _trace_alpha_program(scene: DeviceScene, tracer, o, d, t_min, t_max,
 
     def body(carry):
         k, t, tri_id, u, v, pending, tmin_c = carry
-        # compaction via fixed-size nonzero (cumsum + scatter) instead
-        # of a full argsort over R bools (~9 ms/round at 1M). Fill
-        # entries index ray 0: they recompute ray 0's exact state, so
-        # the duplicate scatter writes below are value-identical.
-        idx = jnp.nonzero(pending, size=cap, fill_value=0)[0]
+        # compaction of pending rays to the front. Fixed-size nonzero
+        # (cumsum + scatter) was tried and measured SLOWER than the
+        # bool argsort at 1M rays (the cumsum costs ~10 ms/round vs the
+        # sort's ~9 and adds a scatter) — TPU sorts are fast enough
+        # that sort-based compaction wins.
+        idx = jnp.argsort(~pending, stable=True)[:cap]
         state = jnp.concatenate([
             t[:, None], u[:, None], v[:, None], tmin_c[:, None],
             jax.lax.bitcast_convert_type(tri_id, jnp.float32)[:, None],
