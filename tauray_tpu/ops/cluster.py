@@ -176,14 +176,28 @@ class ClusterTracer:
         else:
             tracefn = _trace_padded
         if sort_rays:
+            # packed permutation: TPU gathers/scatters are row-latency
+            # bound and width-free to ~128 cols (scripts/gather_lab.py),
+            # so the wave permutes as ONE (R, 8) gather in and ONE
+            # (R, 2|4) scatter out instead of 8 narrow gathers
             key = _ray_sort_key(o, d, self.cmin.min(axis=0),
                                 self.cmax.max(axis=0))
             perm = jnp.argsort(key)
-            hit = tracefn(self, o[perm], d[perm], t_min[perm],
-                          t_max[perm], any_hit)
-            inv = jnp.zeros_like(perm).at[perm].set(
-                jnp.arange(perm.shape[0], dtype=perm.dtype))
-            hit = Hit(*(x[inv] for x in hit))
+            pack = jnp.concatenate(
+                [o, d, t_min[:, None], t_max[:, None]], axis=1)[perm]
+            hit = tracefn(self, pack[:, 0:3], pack[:, 3:6], pack[:, 6],
+                          pack[:, 7], any_hit)
+            cols = [hit.t,
+                    jax.lax.bitcast_convert_type(hit.tri_id, jnp.float32)]
+            if need_uv:
+                cols += [hit.u, hit.v]
+            back = jnp.zeros((o.shape[0], len(cols)), jnp.float32
+                             ).at[perm].set(jnp.stack(cols, axis=1))
+            z = jnp.zeros_like(back[:, 0])
+            hit = Hit(back[:, 0],
+                      jax.lax.bitcast_convert_type(back[:, 1], jnp.int32),
+                      back[:, 2] if need_uv else z,
+                      back[:, 3] if need_uv else z)
         else:
             hit = tracefn(self, o, d, t_min, t_max, any_hit)
         t, tid, u, v = (x[:R] for x in hit)

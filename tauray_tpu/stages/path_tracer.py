@@ -49,6 +49,11 @@ from ..ops.shading import (get_screen_camera_ray, interpolate_vertex,
 from ..scene.device import CameraUniforms, DeviceScene
 
 
+# perf-lab wave capture: scripts/ set this to a list to collect each
+# trace wave's (kind, o, d, t_max) for offline kernel experiments
+_WAVE_DUMP: Optional[list] = None
+
+
 @dataclass(frozen=True)
 class PTConfig:
     """Static path tracer configuration → one compiled program per value."""
@@ -737,6 +742,8 @@ def _run_bounce(cfg: PTConfig, scene: DeviceScene, tracer, state, b_idx,
     # but the physical permutation costs ~8 latency-bound 1M-row gathers
     # per wave — measured a NET LOSS on hardware (trace -150ms, gathers
     # +300ms), so waves trace in pixel-block order (sort=False)
+    if _WAVE_DUMP is not None:              # perf-lab capture, dev only
+        _WAVE_DUMP.append(("bounce", pos, view, t_max))
     hit = host_trace_alpha(scene, tracer, pos, view, t_min, t_max,
                            alpha_u, cfg.has_alpha_materials)
     useful = jnp.sum(t_max > 0.0) if cfg.count_rays else None
@@ -745,6 +752,8 @@ def _run_bounce(cfg: PTConfig, scene: DeviceScene, tracer, state, b_idx,
         sh_o, sh_d, sh_len, nee_alpha_u = _nee_prep(
             cfg, scene, seed, alpha_seed, hit, pos, view, coord, slot)
         sh_len = jnp.where(alive & (hit.tri_id >= 0), sh_len, 0.0)
+        if _WAVE_DUMP is not None:          # perf-lab capture, dev only
+            _WAVE_DUMP.append(("shadow", sh_o, sh_d, sh_len))
         sh = host_trace_alpha(scene, tracer, sh_o, sh_d, cfg.min_ray_dist,
                               sh_len, nee_alpha_u, cfg.has_alpha_materials,
                               any_hit=True)
