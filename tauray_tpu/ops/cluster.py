@@ -149,12 +149,15 @@ class ClusterTracer:
         build_cluster_tracer packs alpha-capable triangles into the tail
         clusters.
 
-        sort_rays: reorder rays by (direction octant, origin Morton)
-        before tiling. Default: off on the pallas path — its front-to-back
-        early exit makes the sort's coherence gain smaller than the
-        argsort+gather cost — and on for the XLA fallback, whose lockstep
-        fori loop pays for the whole per-chunk max cluster count (the TPU
-        analogue of GPU wavefront ray sorting)."""
+        sort_rays: reorder rays by their ACTIVE-SET signature (first two
+        phase-1 clusters; dead rays last) before tiling — the TPU
+        analogue of GPU wavefront ray sorting. Default: off on the
+        pallas path for camera-coherent callers (pixel-block order is
+        already near-minimal: 2.2 activations/tile); the path tracer
+        turns it on explicitly for bounce and shadow waves where it
+        cuts tile unions 3-5x (scripts/sortsig_lab.py). On for the XLA
+        fallback, whose lockstep fori loop pays for the whole per-chunk
+        max cluster count."""
         if sort_rays is None:
             sort_rays = self.tris9 is None
         o = jnp.asarray(origins, jnp.float32)
@@ -179,25 +182,38 @@ class ClusterTracer:
             # packed permutation: TPU gathers/scatters are row-latency
             # bound and width-free to ~128 cols (scripts/gather_lab.py),
             # so the wave permutes as ONE (R, 8) gather in and ONE
-            # (R, 2|4) scatter out instead of 8 narrow gathers
-            key = _ray_sort_key(o, d, self.cmin.min(axis=0),
-                                self.cmax.max(axis=0))
+            # (R, 2|4) scatter out instead of 8 narrow gathers.
+            # SIGNATURE key: rays grouped by their first two phase-1
+            # active clusters (+ dead rays last) — measured 3-5x fewer
+            # tile-union activations than direction-corridor keys on
+            # bounce/shadow waves (scripts/sortsig_lab.py)
+            key = _sig_sort_key(self, o, d, t_min, t_max)
             perm = jnp.argsort(key)
             pack = jnp.concatenate(
                 [o, d, t_min[:, None], t_max[:, None]], axis=1)[perm]
             hit = tracefn(self, pack[:, 0:3], pack[:, 3:6], pack[:, 6],
                           pack[:, 7], any_hit)
-            cols = [hit.t,
-                    jax.lax.bitcast_convert_type(hit.tri_id, jnp.float32)]
+            # un-permute via INVERSE-PERM GATHER of ONE INT32 matrix:
+            # (a) gather, not scatter — the (R, 4) scatter measured
+            # ~42 ms/wave vs ~16 ms for argsort(perm)+gather; (b) int32,
+            # not float — tri ids bitcast through float are denormal/NaN
+            # bit patterns that the TPU's f32 scatter/gather relayouts
+            # flush/canonicalize (measured: miss -1 became a canonical
+            # NaN, id 8 flushed to 0; the ADVICE-r3 hazard, now real)
+            cols = [jax.lax.bitcast_convert_type(hit.t, jnp.int32),
+                    hit.tri_id]
             if need_uv:
-                cols += [hit.u, hit.v]
-            back = jnp.zeros((o.shape[0], len(cols)), jnp.float32
-                             ).at[perm].set(jnp.stack(cols, axis=1))
-            z = jnp.zeros_like(back[:, 0])
-            hit = Hit(back[:, 0],
-                      jax.lax.bitcast_convert_type(back[:, 1], jnp.int32),
-                      back[:, 2] if need_uv else z,
-                      back[:, 3] if need_uv else z)
+                cols += [jax.lax.bitcast_convert_type(hit.u, jnp.int32),
+                         jax.lax.bitcast_convert_type(hit.v, jnp.int32)]
+            inv = jnp.argsort(perm)
+            back = jnp.stack(cols, axis=1)[inv]
+            z = jnp.zeros(o.shape[0], jnp.float32)
+
+            def asf(col):
+                return jax.lax.bitcast_convert_type(col, jnp.float32)
+            hit = Hit(asf(back[:, 0]), back[:, 1],
+                      asf(back[:, 2]) if need_uv else z,
+                      asf(back[:, 3]) if need_uv else z)
         else:
             hit = tracefn(self, o, d, t_min, t_max, any_hit)
         t, tid, u, v = (x[:R] for x in hit)
@@ -511,6 +527,48 @@ def _ray_sort_key(o, d, scene_min, scene_max):
                                      jnp.uint32(1)) | (pa >> jnp.uint32(9))
 
 
+def _sig_sort_key(tracer, o, d, t_min, t_max):
+    """ACTIVE-SET signature key: per-ray (first, second) phase-1 active
+    cluster ids packed into one uint32, dead rays (t_max<=0) last.
+
+    Rationale: per-ray need is only 2-3 clusters while 32-ray tile
+    unions run 21-36 under pixel order (scripts/wave_stats.py) — the
+    sort key that minimizes the union is the active set itself, which
+    the same slab test phase 1 runs anyway. Measured tile unions on
+    real bounce/shadow waves: 21-36 unsorted, 9-16 corridor-sorted,
+    7.5-10 with this key (scripts/sortsig_lab.py)."""
+    C = tracer.n_clusters
+    R = o.shape[0]
+    nb = R // TILE
+    ro = o.reshape(nb, TILE, 3)
+    rd = d.reshape(nb, TILE, 3)
+    rtmin = t_min.reshape(nb, TILE)
+    rtmax = t_max.reshape(nb, TILE)
+    inv_d = jnp.where(rd == 0, jnp.float32(3e38),
+                      1.0 / jnp.where(rd == 0, 1.0, rd))
+    tn, tf = _slab_t_soa(
+        ro[:, None, :, 0], ro[:, None, :, 1], ro[:, None, :, 2],
+        inv_d[:, None, :, 0], inv_d[:, None, :, 1], inv_d[:, None, :, 2],
+        tracer.cmin, tracer.cmax)
+    tn = jnp.maximum(tn, rtmin[:, None, :])
+    act = (tf >= tn) & (tn <= rtmax[:, None, :])       # (nb, C, TILE)
+    cid = jnp.arange(C, dtype=jnp.int32)[None, :, None]
+    # even/odd split: (smallest even active, smallest odd active) —
+    # grouping quality matches the exact (c0, c1) pair on real waves
+    # (scripts/sortsig_lab.py sigeo vs sig01) but the two mins are
+    # INDEPENDENT, so XLA fuses them into one pass over the slab test
+    # instead of two (c1 > c0 needs c0 first)
+    big = jnp.int32(65535)
+    even = (cid & 1) == 0
+    e0 = jnp.min(jnp.where(act & even, jnp.minimum(cid, big), big),
+                 axis=1)                               # (nb, TILE)
+    e1 = jnp.min(jnp.where(act & ~even, jnp.minimum(cid, big), big),
+                 axis=1)
+    k = (e0.astype(jnp.uint32) << jnp.uint32(16)) | e1.astype(jnp.uint32)
+    k = k.reshape(-1)
+    return jnp.where(t_max <= 0, jnp.uint32(0xFFFFFFFF), k)
+
+
 def _slab_hit_soa(ox, oy, oz, ix, iy, iz, t_min, t_max, bmin, bmax):
     """SoA slab test: o*/i* are (G, 1, TILE); bmin/bmax (C, 3) broadcast to
     (G, C, 1). Returns (G, C, TILE) bool. Component-separated layout keeps
@@ -705,7 +763,7 @@ def _trace_padded_pallas(tracer: ClusterTracer, o, d, t_min, t_max,
     """Phase 1 (slab cull + front-to-back key sort) in XLA, phase 2 in
     the Pallas kernel (ops/pallas_trace.py)."""
     from .pallas_trace import (KB as PKB, TILE as PT, vm_fits,
-                               pallas_trace_tiles, pallas_trace_tiles_vm)
+                               pallas_trace_tiles, pallas_trace_tiles_vm3)
     R = o.shape[0]
     C = tracer.n_clusters
     # slab tests run on 128-ray blocks (full VPU lanes), then reduce to
@@ -747,15 +805,20 @@ def _trace_padded_pallas(tracer: ClusterTracer, o, d, t_min, t_max,
     cid = jnp.arange(C, dtype=jnp.int32)[None, :]
     key = (tn_bits & ~idmask) | cid
     key = jnp.where(jnp.isfinite(tile_tnear), key, jnp.int32(0x7FFFFFFF))
-    key = jnp.pad(key, ((0, 0), (0, cpad - C)),
-                  constant_values=0x7FFFFFFF)
-    keys = jnp.sort(key, axis=1)
-
-    if any_hit and tracer.opaque is not None:
-        opad = 1024 * (-(-C // 1024))
-        opaque = jnp.pad(tracer.opaque.astype(jnp.int32), (0, opad - C))
+    # sort only the real C-column prefix (sort cost scales with row
+    # width; C=636 in a 1024 row wasted ~35%), then pad the sorted rows
+    # to the kernel's 1024-aligned cpad with the same sentinel
+    sort_w = 128 * (-(-(C + PKB + 1) // 128))
+    if sort_w < cpad:
+        key = jnp.pad(key, ((0, 0), (0, sort_w - C)),
+                      constant_values=0x7FFFFFFF)
+        keys = jnp.sort(key, axis=1)
+        keys = jnp.pad(keys, ((0, 0), (0, cpad - sort_w)),
+                       constant_values=0x7FFFFFFF)
     else:
-        opaque = jnp.ones(1024, jnp.int32)
+        key = jnp.pad(key, ((0, 0), (0, cpad - C)),
+                      constant_values=0x7FFFFFFF)
+        keys = jnp.sort(key, axis=1)
 
     # o/d pass through as free reshapes; only the two (R,) min/max
     # vectors pay a (cheap) interleave
@@ -765,12 +828,22 @@ def _trace_padded_pallas(tracer: ClusterTracer, o, d, t_min, t_max,
     # whole-table-in-VMEM kernel when the packed triangles fit (~13.5 MB
     # budget, Sponza-class scenes included; Baldwin-Weber rows);
     # DMA-streaming Möller-Trumbore kernel above that
-    # (scripts/kernel_lab3.py / kernel_lab4.py / kernel_lab5.py)
+    # (scripts/kernel_lab3.py / kernel_lab4.py / kernel_lab5.py).
+    # v3 (streamed tile*step iteration, no in-kernel early exit) beats
+    # the exit-carrying v1 on sorted AND unsorted waves
+    # (scripts/kernel_lab7.py); without an exit any-hit == closest-hit,
+    # so the opacity table is unused on this path.
     if vm_fits(C):
-        t, tid = pallas_trace_tiles_vm(
-            counts, keys, o3, d3, mm2, tracer.tris12, opaque, C, cpad,
-            idmask, any_hit=any_hit, interpret=_PALLAS_INTERPRET)
+        t, tid = pallas_trace_tiles_vm3(
+            counts, keys, o3, d3, mm2, tracer.tris12, C, cpad,
+            idmask, interpret=_PALLAS_INTERPRET)
     else:
+        if any_hit and tracer.opaque is not None:
+            opad = 1024 * (-(-C // 1024))
+            opaque = jnp.pad(tracer.opaque.astype(jnp.int32),
+                             (0, opad - C))
+        else:
+            opaque = jnp.ones(1024, jnp.int32)
         t, tid = pallas_trace_tiles(
             counts, keys, o3, d3, mm2, tracer.tris9, opaque, C, cpad,
             idmask, any_hit=any_hit, interpret=_PALLAS_INTERPRET)

@@ -719,6 +719,443 @@ def _kernel_vm(counts_ref,            # scalar prefetch (n_tiles,)
     jax.lax.fori_loop(0, G, process_tile, 0)
 
 
+# ---------------------------------------------------------------------------
+# v2 VMEM-resident kernel: grid-batched meta heads (the round-4 fixed-cost
+# fix). The v1 kernel DMAs a 4 KB sorted-key row into SMEM PER TILE, which
+# measures as ~1.2 us/tile of pure overhead (40 ms/wave at zero steps —
+# scripts/kernel_lab6.py). v2 instead ships the first KC=128 keys of all G
+# tiles of a grid step as ONE (G, KC) 16 KB DMA, double-buffered across
+# grid steps, and falls back to the tile's full row only when its active
+# count overflows KC (rare: signature-sorted waves have p95 unions < 16,
+# scripts/sortsig_lab.py).
+# ---------------------------------------------------------------------------
+
+KC = 128   # per-tile key head length (i32 lanes, one HBM tile row)
+
+
+def _kernel_vm2(counts_ref,            # scalar prefetch (n_tiles,)
+                heads_ref,             # (n_tiles, KC) i32 HBM key heads
+                full_ref,              # (n_tiles*cpad,) i32 HBM full rows
+                o_ref, d_ref, mm_ref,  # (G, TILE, {3,3,2}) VMEM blocks
+                tris_ref,              # (C, 12, 1, CLUSTER) VMEM resident
+                opq_ref,               # (opad,) i32 HBM cluster opacity
+                out_ref,               # (G, TILE, 2) VMEM block
+                head_scr, ovf_scr, opq_scr, head_sem, ovf_sem, opq_sem,
+                *, n_clusters: int, cpad: int, idmask: int, any_hit: bool,
+                kbv: int, debug_steps: bool = False):
+    b = pl.program_id(0)
+    nb = pl.num_programs(0)
+    bkv = kbv * CLUSTER
+
+    def head_dma(bb):
+        return pltpu.make_async_copy(
+            heads_ref.at[pl.ds(bb * G, G), :],
+            head_scr.at[jax.lax.rem(bb, 2)], head_sem.at[jax.lax.rem(bb, 2)])
+
+    if any_hit:
+        @pl.when(b == 0)
+        def _():
+            cp = pltpu.make_async_copy(opq_ref, opq_scr, opq_sem)
+            cp.start()
+            cp.wait()
+
+    @pl.when(b == 0)
+    def _():
+        head_dma(0).start()
+
+    @pl.when(b + 1 < nb)
+    def _():
+        head_dma(b + 1).start()
+    head_dma(b).wait()
+    slot = jax.lax.rem(b, 2)
+
+    def process_tile(g, _):
+        count = counts_ref[b * G + g]
+        steps = (count + kbv - 1) // kbv
+        # key reads go up to (steps+? ) * kbv <= count + kbv - 1; beyond
+        # KC-1 the head is stale — fetch the tile's full sorted row
+        use_ovf = count + kbv > KC
+
+        @pl.when(use_ovf)
+        def _():
+            cp = pltpu.make_async_copy(
+                full_ref.at[pl.ds((b * G + g) * cpad, cpad)],
+                ovf_scr, ovf_sem)
+            cp.start()
+            cp.wait()
+
+        def key_at(k):
+            kk = jnp.minimum(k, cpad - 1)
+            h = head_scr[slot, g, jnp.minimum(kk, KC - 1)]
+            f = ovf_scr[kk]
+            return jnp.where(use_ovf, f, h)
+
+        def order_at(k):
+            return jnp.minimum(key_at(k) & idmask, n_clusters - 1)
+
+        ox = o_ref[g, :, 0:1]
+        oy = o_ref[g, :, 1:2]
+        oz = o_ref[g, :, 2:3]
+        dx = d_ref[g, :, 0:1]
+        dy = d_ref[g, :, 1:2]
+        dz = d_ref[g, :, 2:3]
+        tmin = mm_ref[g, :, 0:1]
+        tmax = mm_ref[g, :, 1:2]
+
+        init_t = jnp.minimum(tmax, BIG)
+        init_id = jnp.full((TILE, 1), -1, jnp.int32)
+        init_opq = jnp.zeros((TILE, 1), jnp.int32)
+
+        def cond(c):
+            step, done = c[0], c[1]
+            return (step < steps) & ~done
+
+        def body(c):
+            step, _, best_t, best_id, best_opq = c
+            orders = [order_at(step * kbv + j) for j in range(kbv)]
+            ts = [tris_ref[o] for o in orders]
+            tri = jnp.concatenate(ts, axis=-1) if kbv > 1 else ts[0]
+
+            nx = tri[0]
+            ny = tri[1]
+            nz = tri[2]
+            ndot = tri[3]
+            r1x = tri[4]
+            r1y = tri[5]
+            r1z = tri[6]
+            r1d = tri[7]
+            r2x = tri[8]
+            r2y = tri[9]
+            r2z = tri[10]
+            r2d = tri[11]
+
+            den = nx * dx + ny * dy + nz * dz
+            num = ndot - (nx * ox + ny * oy + nz * oz)
+            f = jnp.where(den != 0, 1.0 / jnp.where(den == 0, 1.0, den),
+                          0.0)
+            tt = num * f
+            px = ox + tt * dx
+            py = oy + tt * dy
+            pz = oz + tt * dz
+            uu = r1x * px + r1y * py + r1z * pz - r1d
+            vv = r2x * px + r2y * py + r2z * pz - r2d
+            lane_block = jax.lax.broadcasted_iota(
+                jnp.int32, (TILE, bkv), 1) // CLUSTER
+            slot_ok = (step * kbv + lane_block) < count
+            hit = (den != 0) & (uu >= 0) & (vv >= 0) & (uu + vv <= 1) & \
+                (tt >= tmin) & (tt < best_t) & slot_ok
+            tt = jnp.where(hit, tt, BIG)
+            cand_t = jnp.min(tt, axis=1, keepdims=True)
+            arg = jnp.argmin(tt, axis=1)[:, None]
+            closer = cand_t < best_t
+            cid_win = jnp.zeros((TILE, 1), jnp.int32)
+            for j in range(kbv):
+                blk = arg // CLUSTER == j
+                cid_win = jnp.where(blk, orders[j], cid_win)
+            if any_hit:
+                opq_win = jnp.zeros((TILE, 1), jnp.int32)
+                for j in range(kbv):
+                    opq_win = jnp.where(arg // CLUSTER == j,
+                                        opq_scr[orders[j]], opq_win)
+                best_opq = jnp.where(closer, opq_win, best_opq)
+            win_id = cid_win * CLUSTER + arg % CLUSTER
+            best_t = jnp.where(closer, cand_t, best_t)
+            best_id = jnp.where(closer, win_id, best_id)
+
+            next_tn_bits = key_at((step + 1) * kbv) & ~idmask
+            t_bits = jax.lax.bitcast_convert_type(best_t, jnp.int32)
+            ray_done = t_bits <= next_tn_bits
+            if any_hit:
+                ray_done = ray_done | ((best_id >= 0) & (best_opq > 0))
+            done = jnp.all(ray_done)
+            return (step + 1, done, best_t, best_id, best_opq)
+
+        fs, _, bt, bi, _ = jax.lax.while_loop(
+            cond, body,
+            (jnp.int32(0), steps <= 0, init_t, init_id, init_opq))
+
+        if debug_steps:
+            out_ref[g, :, 0:1] = jnp.full((TILE, 1),
+                                          fs.astype(jnp.float32))
+            out_ref[g, :, 1:2] = jnp.full((TILE, 1),
+                                          count.astype(jnp.float32))
+        else:
+            out_ref[g, :, 0:1] = bt
+            out_ref[g, :, 1:2] = jax.lax.bitcast_convert_type(
+                bi, jnp.float32)
+        return 0
+
+    jax.lax.fori_loop(0, G, process_tile, 0)
+
+
+@partial(jax.jit,
+         static_argnames=("n_clusters", "cpad", "idmask", "any_hit",
+                          "kbv", "interpret", "debug_steps"))
+def pallas_trace_tiles_vm2(counts, keys, o3, d3, mm2, tris12, opaque,
+                           n_clusters: int, cpad: int, idmask: int,
+                           any_hit: bool = False, kbv: int = KBV,
+                           interpret: bool = False,
+                           debug_steps: bool = False):
+    """v2 of pallas_trace_tiles_vm (same contract): grid-batched KC-key
+    meta heads + overflow fallback; kbv (clusters per step) is a static
+    knob."""
+    n_tiles = counts.shape[0]
+    assert n_tiles % G == 0
+    heads = keys[:, :KC]
+    flat = keys.reshape(-1)
+    C = tris12.shape[0]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles // G,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+                  pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+                  pl.BlockSpec((G, TILE, 3), lambda b, *_: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((G, TILE, 3), lambda b, *_: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((G, TILE, 2), lambda b, *_: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((C, 12, 1, CLUSTER),
+                               lambda b, *_: (0, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)],
+        out_specs=pl.BlockSpec((G, TILE, 2), lambda b, *_: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.SMEM((2, G, KC), jnp.int32),
+            pltpu.SMEM((cpad,), jnp.int32),
+            pltpu.SMEM((opaque.shape[0],), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ])
+    out_shape = jax.ShapeDtypeStruct((n_tiles, TILE, 2), jnp.float32)
+    out = pl.pallas_call(
+        partial(_kernel_vm2, n_clusters=n_clusters, cpad=cpad,
+                idmask=idmask, any_hit=any_hit, kbv=kbv,
+                debug_steps=debug_steps),
+        out_shape=out_shape, grid_spec=grid_spec,
+        interpret=interpret,
+    )(counts, heads, flat, o3, d3, mm2, tris12, opaque)
+    if debug_steps:
+        return out[:, 0, 0], out[:, 0, 1]
+    t = out[:, :, 0].reshape(-1)
+    tid = jax.lax.bitcast_convert_type(out[:, :, 1], jnp.int32).reshape(-1)
+    t = jnp.where(tid < 0, jnp.inf, t)
+    return t, tid
+
+
+# ---------------------------------------------------------------------------
+# v3 VMEM-resident kernel: STREAMED tile*step iteration space.
+#
+# Measured anatomy (scripts/kernel_lab8.py / kernel_lab9.py): the per-tile
+# while_loop boundary costs ~0.9 us of pipeline stall regardless of body,
+# while a marginal traversal step costs only ~0.62 us — on
+# signature-sorted waves (~1.2 steps/tile) the boundary is the majority
+# of kernel time. v3 flattens all (tile, step) pairs of a grid step into
+# ONE fori_loop whose trip count rides scalar prefetch, so the vector
+# pipeline never breaks between tiles:
+#   * per-tile results live in the loop carry; a tile's final (t, id) is
+#     written when its last step retires (@pl.when(last));
+#   * tiles with zero active clusters are pre-initialized as misses by a
+#     vectorized pass and skipped by the stream;
+#   * no in-kernel early exit: sorted walk lists are already near the
+#     per-ray minimum (scripts/sortsig_lab.py), and dropping the exit
+#     removes the vector->scalar `done` reduction; any-hit therefore
+#     equals closest-hit and needs no opacity table at all.
+# ---------------------------------------------------------------------------
+
+
+def _kernel_vm3(counts_ref,            # scalar prefetch (n_tiles,)
+                trips_ref,             # scalar prefetch (n_grid,)
+                heads_ref,             # (n_tiles, KC) i32 HBM key heads
+                full_ref,              # (n_tiles*cpad,) i32 HBM full rows
+                rays_ref,              # (G, TILE, 8) VMEM packed rays
+                tris_ref,              # (C, 12, 1, CLUSTER) VMEM resident
+                out_ref,               # (G, TILE, 2) VMEM block
+                head_scr, ovf_scr, head_sem, ovf_sem,
+                *, n_clusters: int, cpad: int, idmask: int, kbv: int):
+    b = pl.program_id(0)
+    nb = pl.num_programs(0)
+    bkv = kbv * CLUSTER
+
+    def head_dma(bb):
+        return pltpu.make_async_copy(
+            heads_ref.at[pl.ds(bb * G, G), :],
+            head_scr.at[jax.lax.rem(bb, 2)], head_sem.at[jax.lax.rem(bb, 2)])
+
+    @pl.when(b == 0)
+    def _():
+        head_dma(0).start()
+
+    @pl.when(b + 1 < nb)
+    def _():
+        head_dma(b + 1).start()
+    head_dma(b).wait()
+    slot = jax.lax.rem(b, 2)
+
+    # vectorized miss pre-init for every tile of the block (id -1 is
+    # written via int bitcast so the NaN bit pattern survives exactly)
+    out_ref[:, :, 0:1] = jnp.minimum(rays_ref[:, :, 7:8], BIG)
+    out_ref[:, :, 1:2] = jax.lax.bitcast_convert_type(
+        jnp.full((G, TILE, 1), -1, jnp.int32), jnp.float32)
+
+    def steps_of(g):
+        c = counts_ref[b * G + jnp.minimum(g, G - 1)]
+        return jnp.where(g < G, (c + kbv - 1) // kbv, jnp.int32(1))
+
+    def next_active(g):
+        return jax.lax.while_loop(
+            lambda x: (x < G) & (steps_of(x) == 0), lambda x: x + 1, g)
+
+    trip = trips_ref[b]
+
+    def key_at(g, k, use_ovf):
+        kk = jnp.minimum(k, cpad - 1)
+        h = head_scr[slot, g, jnp.minimum(kk, KC - 1)]
+        f = ovf_scr[kk]
+        return jnp.where(use_ovf, f, h)
+
+    def body(i, c):
+        g, ls, bt, bi = c
+        count = counts_ref[b * G + g]
+        steps = (count + kbv - 1) // kbv
+        first = ls == 0
+        last = ls + 1 >= steps
+        use_ovf = count + kbv > KC
+
+        # rare overflow: fetch the tile's full sorted row once
+        @pl.when(use_ovf & first)
+        def _():
+            cp = pltpu.make_async_copy(
+                full_ref.at[pl.ds((b * G + g) * cpad, cpad)],
+                ovf_scr, ovf_sem)
+            cp.start()
+            cp.wait()
+
+        orders = [jnp.minimum(key_at(g, ls * kbv + j, use_ovf) & idmask,
+                              n_clusters - 1) for j in range(kbv)]
+        ts = [tris_ref[o] for o in orders]
+        tri = jnp.concatenate(ts, axis=-1) if kbv > 1 else ts[0]
+
+        # ONE dynamic (TILE, 8) load per iteration; column extracts are
+        # register ops (8 separate dynamic lane-slice loads measured
+        # 0.55 us/tile — scripts/kernel_lab10.py)
+        rays = rays_ref[g]
+        ox = rays[:, 0:1]
+        oy = rays[:, 1:2]
+        oz = rays[:, 2:3]
+        dx = rays[:, 3:4]
+        dy = rays[:, 4:5]
+        dz = rays[:, 5:6]
+        tmin = rays[:, 6:7]
+        tmax = rays[:, 7:8]
+        bt = jnp.where(first, jnp.minimum(tmax, BIG), bt)
+        bi = jnp.where(first, jnp.int32(-1), bi)
+
+        nx = tri[0]
+        ny = tri[1]
+        nz = tri[2]
+        ndot = tri[3]
+        r1x = tri[4]
+        r1y = tri[5]
+        r1z = tri[6]
+        r1d = tri[7]
+        r2x = tri[8]
+        r2y = tri[9]
+        r2z = tri[10]
+        r2d = tri[11]
+
+        den = nx * dx + ny * dy + nz * dz
+        num = ndot - (nx * ox + ny * oy + nz * oz)
+        f = jnp.where(den != 0, 1.0 / jnp.where(den == 0, 1.0, den), 0.0)
+        tt = num * f
+        px = ox + tt * dx
+        py = oy + tt * dy
+        pz = oz + tt * dz
+        uu = r1x * px + r1y * py + r1z * pz - r1d
+        vv = r2x * px + r2y * py + r2z * pz - r2d
+        lane_block = jax.lax.broadcasted_iota(
+            jnp.int32, (TILE, bkv), 1) // CLUSTER
+        slot_ok = (ls * kbv + lane_block) < count
+        hit = (den != 0) & (uu >= 0) & (vv >= 0) & (uu + vv <= 1) & \
+            (tt >= tmin) & (tt < bt) & slot_ok
+        tt = jnp.where(hit, tt, BIG)
+        cand_t = jnp.min(tt, axis=1, keepdims=True)
+        arg = jnp.argmin(tt, axis=1)[:, None]
+        closer = cand_t < bt
+        cid_win = jnp.zeros((TILE, 1), jnp.int32)
+        for j in range(kbv):
+            cid_win = jnp.where(arg // CLUSTER == j, orders[j], cid_win)
+        bt = jnp.where(closer, cand_t, bt)
+        bi = jnp.where(closer, cid_win * CLUSTER + arg % CLUSTER, bi)
+
+        @pl.when(last)
+        def _():
+            # single combined (TILE, 2) write (two (TILE, 1) writes
+            # measured 0.31 us/tile — scripts/kernel_lab10.py)
+            out_ref[g] = jnp.concatenate(
+                [bt, jax.lax.bitcast_convert_type(bi, jnp.float32)],
+                axis=1)
+
+        ng = jnp.where(last, next_active(g + 1), g)
+        nls = jnp.where(last, 0, ls + 1)
+        return (ng, nls, bt, bi)
+
+    init = (next_active(jnp.int32(0)), jnp.int32(0),
+            jnp.zeros((TILE, 1), jnp.float32),
+            jnp.full((TILE, 1), -1, jnp.int32))
+    jax.lax.fori_loop(0, trip, body, init)
+
+
+@partial(jax.jit,
+         static_argnames=("n_clusters", "cpad", "idmask", "kbv",
+                          "interpret"))
+def pallas_trace_tiles_vm3(counts, keys, o3, d3, mm2, tris12,
+                           n_clusters: int, cpad: int, idmask: int,
+                           kbv: int = KBV, interpret: bool = False):
+    """Streamed v3 of the VMEM-resident traversal (same contract as
+    pallas_trace_tiles_vm, minus any_hit/opaque: without an in-kernel
+    early exit any-hit equals closest-hit)."""
+    n_tiles = counts.shape[0]
+    assert n_tiles % G == 0
+    heads = keys[:, :KC]
+    flat = keys.reshape(-1)
+    steps = (counts + kbv - 1) // kbv
+    trips = jnp.sum(steps.reshape(-1, G), axis=1)
+    rays8 = jnp.concatenate([o3, d3, mm2], axis=2)   # (n_tiles, TILE, 8)
+    C = tris12.shape[0]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_tiles // G,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+                  pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+                  pl.BlockSpec((G, TILE, 8), lambda b, *_: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((C, 12, 1, CLUSTER),
+                               lambda b, *_: (0, 0, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((G, TILE, 2), lambda b, *_: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.SMEM((2, G, KC), jnp.int32),
+            pltpu.SMEM((cpad,), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA(()),
+        ])
+    out_shape = jax.ShapeDtypeStruct((n_tiles, TILE, 2), jnp.float32)
+    out = pl.pallas_call(
+        partial(_kernel_vm3, n_clusters=n_clusters, cpad=cpad,
+                idmask=idmask, kbv=kbv),
+        out_shape=out_shape, grid_spec=grid_spec,
+        interpret=interpret,
+    )(counts, trips, heads, flat, rays8, tris12)
+    t = out[:, :, 0].reshape(-1)
+    tid = jax.lax.bitcast_convert_type(out[:, :, 1], jnp.int32).reshape(-1)
+    t = jnp.where(tid < 0, jnp.inf, t)
+    return t, tid
+
+
 @partial(jax.jit,
          static_argnames=("n_clusters", "cpad", "idmask", "any_hit",
                           "interpret", "debug_steps"))

@@ -22,6 +22,7 @@ Feature parity:
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from functools import partial
 from typing import NamedTuple, Optional, Tuple
@@ -626,15 +627,30 @@ def _trace_alpha_program(scene: DeviceScene, tracer, o, d, t_min, t_max,
         return jnp.any(pending) & (k < rounds)
 
     quantum = 8192
-    cap = min(R, max(quantum, (R // 8) // quantum * quantum))
+    # cap sized to the observed alpha-pending population (~1-3% of a
+    # wave on test.glb): R//32 keeps the per-round compaction gather +
+    # scatter ~4x cheaper than the round-3 R//8 while still servicing a
+    # full wave's pending set within the round budget
+    cap = min(R, max(quantum, (R // 32) // quantum * quantum))
 
     # TPU gathers/scatters are row-latency-bound and WIDTH-FREE up to
-    # ~128 f32 cols (scripts/gather_lab.py: 1 col 7.5 ms/1M rows, 128
+    # ~128 cols (scripts/gather_lab.py: 1 col 7.5 ms/1M rows, 128
     # cols 11.2 ms), so the per-round compaction moves ONE wide packed
     # row per ray instead of nine scalar columns, and writes results
-    # back with ONE packed scatter.
-    ray_pack = jnp.concatenate([
-        o, d, cutoff[:, None], t_max[:, None]], axis=1)      # (R, 8) static
+    # back with ONE packed scatter. The pack is INT32: triangle ids
+    # bitcast through float are denormal/NaN bit patterns that TPU f32
+    # scatters flush/canonicalize (the sorted-trace scatter measurably
+    # corrupted ids this way; ADVICE r3) — int moves are bit-exact, so
+    # every float column rides as its bitcast int.
+    def asi(x):
+        return jax.lax.bitcast_convert_type(
+            jnp.asarray(x, jnp.float32), jnp.int32)
+
+    def asf(x):
+        return jax.lax.bitcast_convert_type(x, jnp.float32)
+
+    ray_pack = asi(jnp.concatenate([
+        o, d, cutoff[:, None], t_max[:, None]], axis=1))     # (R, 8) static
 
     def body(carry):
         k, t, tri_id, u, v, pending, tmin_c = carry
@@ -645,15 +661,16 @@ def _trace_alpha_program(scene: DeviceScene, tracer, o, d, t_min, t_max,
         # that sort-based compaction wins.
         idx = jnp.argsort(~pending, stable=True)[:cap]
         state = jnp.concatenate([
-            t[:, None], u[:, None], v[:, None], tmin_c[:, None],
-            jax.lax.bitcast_convert_type(tri_id, jnp.float32)[:, None],
-            pending.astype(jnp.float32)[:, None], ray_pack], axis=1)
+            asi(t)[:, None], asi(u)[:, None], asi(v)[:, None],
+            asi(tmin_c)[:, None], tri_id[:, None],
+            pending.astype(jnp.int32)[:, None], ray_pack], axis=1)
         s = state[idx]                                       # (cap, 14)
-        t_s, u_s, v_s, tmin_s = s[:, 0], s[:, 1], s[:, 2], s[:, 3]
-        tri_s = jax.lax.bitcast_convert_type(s[:, 4], jnp.int32)
-        p_s = s[:, 5] > 0.5
-        o_s, d_s = s[:, 6:9], s[:, 9:12]
-        cut_s, tmax_s = s[:, 12], s[:, 13]
+        t_s, u_s, v_s, tmin_s = (asf(s[:, 0]), asf(s[:, 1]),
+                                 asf(s[:, 2]), asf(s[:, 3]))
+        tri_s = s[:, 4]
+        p_s = s[:, 5] > 0
+        o_s, d_s = asf(s[:, 6:9]), asf(s[:, 9:12])
+        cut_s, tmax_s = asf(s[:, 12]), asf(s[:, 13])
         # alpha test (uv interp + texture fetch) on the sub-wave only
         skip_s, ntmin_s, _ = _alpha_skip_impl(
             scene, t_s, tri_s, u_s, v_s, cut_s,
@@ -671,16 +688,16 @@ def _trace_alpha_program(scene: DeviceScene, tracer, o, d, t_min, t_max,
         # alpha-capable triangle; unserviced (beyond CAP) keep pending=1
         sp = skip_s & reflag
         out = jnp.stack([
-            st, su, sv, ntmin_s,
-            jax.lax.bitcast_convert_type(stri, jnp.float32),
-            sp.astype(jnp.float32)], axis=1)                 # (cap, 6)
+            asi(st), asi(su), asi(sv), asi(ntmin_s), stri,
+            sp.astype(jnp.int32)], axis=1)                   # (cap, 6)
         back = jnp.concatenate([
-            t[:, None], u[:, None], v[:, None], tmin_c[:, None],
-            jax.lax.bitcast_convert_type(tri_id, jnp.float32)[:, None],
-            pending.astype(jnp.float32)[:, None]], axis=1).at[idx].set(out)
-        t, u, v, tmin_c = (back[:, 0], back[:, 1], back[:, 2], back[:, 3])
-        tri_id = jax.lax.bitcast_convert_type(back[:, 4], jnp.int32)
-        pending = back[:, 5] > 0.5
+            asi(t)[:, None], asi(u)[:, None], asi(v)[:, None],
+            asi(tmin_c)[:, None], tri_id[:, None],
+            pending.astype(jnp.int32)[:, None]], axis=1).at[idx].set(out)
+        t, u, v, tmin_c = (asf(back[:, 0]), asf(back[:, 1]),
+                           asf(back[:, 2]), asf(back[:, 3]))
+        tri_id = back[:, 4]
+        pending = back[:, 5] > 0
         return (k + 1, t, tri_id, u, v, pending, tmin_c)
 
     carry = (jnp.int32(0), hit.t, hit.tri_id, hit.u, hit.v, pending0, t_min)
@@ -737,15 +754,18 @@ def _run_bounce(cfg: PTConfig, scene: DeviceScene, tracer, state, b_idx,
         alpha_u = 0.0
     t_min = 0.0 if is_first else cfg.min_ray_dist
     t_max = jnp.where(alive, RAY_MAX_DIST, 0.0)
-    # NOTE on ray sorting: (direction, origin-morton) sorting cuts
-    # tested tris ~1.25x on bounce/shadow waves (scripts/trace_lab2.py),
-    # but the physical permutation costs ~8 latency-bound 1M-row gathers
-    # per wave — measured a NET LOSS on hardware (trace -150ms, gathers
-    # +300ms), so waves trace in pixel-block order (sort=False)
+    # Ray sorting: bounce/shadow waves sort by the ACTIVE-SET signature
+    # key (ops/cluster._sig_sort_key) — one packed gather in, one packed
+    # scatter out, 3-5x fewer tile-union cluster activations; camera
+    # waves keep pixel-block order (already 2.2 activations/tile).
+    # (Round-3's corridor key was a net loss; the signature key's
+    # far-stronger grouping flipped the trade — scripts/sortsig_lab.py.)
     if _WAVE_DUMP is not None:              # perf-lab capture, dev only
         _WAVE_DUMP.append(("bounce", pos, view, t_max))
+    _sort_env = os.environ.get("TAURAY_WAVE_SORT", "1") == "1"
     hit = host_trace_alpha(scene, tracer, pos, view, t_min, t_max,
-                           alpha_u, cfg.has_alpha_materials)
+                           alpha_u, cfg.has_alpha_materials,
+                           sort=(not is_first) and _sort_env)
     useful = jnp.sum(t_max > 0.0) if cfg.count_rays else None
     if cfg.nee.any and int(b_idx) < max_bounces - 1:
         slot = -1 if sobol_bounce < 0 else sobol_bounce * 2
@@ -756,7 +776,7 @@ def _run_bounce(cfg: PTConfig, scene: DeviceScene, tracer, state, b_idx,
             _WAVE_DUMP.append(("shadow", sh_o, sh_d, sh_len))
         sh = host_trace_alpha(scene, tracer, sh_o, sh_d, cfg.min_ray_dist,
                               sh_len, nee_alpha_u, cfg.has_alpha_materials,
-                              any_hit=True)
+                              any_hit=True, sort=_sort_env)
         vis = jnp.where(sh.tri_id < 0, 1.0, 0.0)
         if cfg.count_rays:
             useful = useful + jnp.sum(sh_len > 0.0)
@@ -839,7 +859,7 @@ def evaluate_ray_inline(cfg: PTConfig, scene: DeviceScene, bvh,
         hit = trace_alpha(scene, bvh, cur_pos, cur_view,
                           jnp.full(R, t_min, jnp.float32),
                           t_max, alpha_u, cfg.has_alpha_materials,
-                          need_uv=False)
+                          need_uv=False, sort=not is_first)
         # NEE is statically inactive at the final path vertex
         # (terminal => active_nee false in _shade_bounce), so the last
         # bounce's shadow wave is skipped entirely
@@ -853,7 +873,7 @@ def evaluate_ray_inline(cfg: PTConfig, scene: DeviceScene, bvh,
             sh = trace_alpha(scene, bvh, sh_o, sh_d,
                              jnp.full(R, cfg.min_ray_dist, jnp.float32),
                              sh_len, nee_alpha_u, cfg.has_alpha_materials,
-                             any_hit=True, need_uv=False)
+                             any_hit=True, need_uv=False, sort=True)
             vis = jnp.where(sh.tri_id < 0, 1.0, 0.0)
         else:
             vis = jnp.ones(R, jnp.float32)
