@@ -227,6 +227,9 @@ class DistributedPathTracerRenderer(PathTracerRenderer):
         from ..scene.device import to_camera_uniforms
         cam = to_camera_uniforms(self.arrays.camera_uniforms(vps))
         prev_cam = self._prev_cam if self._prev_cam is not None else cam
+        # slot-ordered triangle tables matching the tracer's slot-id
+        # mode (see PathTracerRenderer._slot_scene)
+        scene_slots = self._slot_scene()
 
         n_passes = self.samples_per_pixel // self.samples_per_pass
         sample_base = self.samples_accumulated
@@ -247,7 +250,7 @@ class DistributedPathTracerRenderer(PathTracerRenderer):
                     np.full((self.n_devices,), prev_n, np.uint32),
                     NamedSharding(self.mesh, P("dev")))
                 chunks = self._view_render(
-                    self.device_scene, self.bvh, cam, prev_cam,
+                    scene_slots, self.bvh, cam, prev_cam,
                     self._view_ids, prev)        # (D, V_local, N, 4)
                 frame = chunks.reshape(self._vpad, H, W, 4)[:V]
                 t = 0.0 if prev_n == 0 else \
@@ -267,7 +270,7 @@ class DistributedPathTracerRenderer(PathTracerRenderer):
                            np.uint32)
             prev = jax.device_put(prev, NamedSharding(self.mesh, P("dev")))
             chunks = self._sharded_render(
-                self.device_scene, self.bvh, cam, prev_cam,
+                scene_slots, self.bvh, cam, prev_cam,
                 self._pix_d, self._valid_d, prev)          # (D, V, N, 4)
             prev_n = sample_base + p * self.samples_per_pass
             if p == 0 and self._stitch_blend < 1.0:

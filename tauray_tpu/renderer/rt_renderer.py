@@ -79,6 +79,12 @@ class PathTracerRenderer(Renderer):
                                        self.arrays.inst_has_alpha),
                 strategy=self.opt.as_strategy,
                 inst_dynamic=self.arrays.inst_dynamic)
+            # slot-id mode: traces return raw slot ids and the PT
+            # pipeline reads SLOT-ORDERED triangle tables (_slot_scene),
+            # removing the to_orig remap gather from every wave
+            # (~7.5 ms/wave at 1M rays)
+            self.bvh.slot_ids = True
+            self._perm_dev = jnp.asarray(self._perm)
         self._prev_cam = None
         self.accum_color = None
         self.samples_accumulated = 0
@@ -209,11 +215,23 @@ class PathTracerRenderer(Renderer):
             # with --accumulation, offline frames keep accumulating
             # (reference: src/tauray.cc accumulation semantics)
 
+    def _slot_scene(self):
+        """Device scene with triangle tables permuted into traversal
+        SLOT order (one small (T, 96) gather per frame, vs a 1M-row
+        to_orig remap gather per wave)."""
+        if self._perm is None or not getattr(self.bvh, "slot_ids", False):
+            return self.device_scene
+        p = self._perm_dev
+        return self.device_scene._replace(
+            tri_packed=self.device_scene.tri_packed[p],
+            tri_instance=self.device_scene.tri_instance[p])
+
     def render(self) -> np.ndarray:
         cfg = self.cfg
         vps = self.viewports()
         cam = to_camera_uniforms(self.arrays.camera_uniforms(vps))
         prev_cam = self._prev_cam if self._prev_cam is not None else cam
+        scene = self._slot_scene()
 
         n_passes = self.samples_per_pixel // self.samples_per_pass
         sample_base = self.samples_accumulated
@@ -228,7 +246,7 @@ class PathTracerRenderer(Renderer):
             for c in range(n_chunks):
                 s = slice(c * self.rays_per_call, (c + 1) * self.rays_per_call)
                 prev_arr = jnp.full(self.rays_per_call, prev, jnp.uint32)
-                out = _render_pass(cfg, self.device_scene, self.bvh, cam,
+                out = _render_pass(cfg, scene, self.bvh, cam,
                                    prev_cam, self._pix[s], self._vp[s],
                                    prev_arr)
                 chunks.append(out.color)

@@ -48,7 +48,10 @@ class SHRenderer:
         device scene + tracer."""
         opt = self.opt
         arrays = host_renderer.arrays
-        scene = host_renderer.device_scene
+        # slot-ordered tables when the host tracer runs in slot-id mode
+        scene = (host_renderer._slot_scene()
+                 if hasattr(host_renderer, "_slot_scene")
+                 else host_renderer.device_scene)
         tracer = host_renderer.bvh
         grids = arrays.scene.sh_grids()
         if not grids:
