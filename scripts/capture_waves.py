@@ -33,10 +33,12 @@ def main():
     rr.reset_accumulation()
     rr.render()
     out = {}
-    for i, (k, o, d, tm) in enumerate(pt._WAVE_DUMP):
+    for i, (k, o, d, tmin, tm) in enumerate(pt._WAVE_DUMP):
         out[f"w{i}_kind"] = np.array(k)
         out[f"w{i}_o"] = np.asarray(o)
         out[f"w{i}_d"] = np.asarray(d)
+        out[f"w{i}_tmin"] = np.broadcast_to(
+            np.asarray(tmin, np.float32), np.asarray(tm).shape).copy()
         out[f"w{i}_tmax"] = np.asarray(tm)
     pt._WAVE_DUMP = None
     arrays = SceneArrays(s, opt)

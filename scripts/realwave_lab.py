@@ -41,19 +41,22 @@ def main():
     pt._WAVE_DUMP = []
     rr.reset_accumulation()
     rr.render()
-    waves = [(k, np.asarray(o), np.asarray(d), np.asarray(tm))
-             for k, o, d, tm in pt._WAVE_DUMP]
+    waves = [(k, np.asarray(o), np.asarray(d),
+              np.broadcast_to(np.asarray(tmin, np.float32),
+                              np.asarray(tm).shape), np.asarray(tm))
+             for k, o, d, tmin, tm in pt._WAVE_DUMP]
     pt._WAVE_DUMP = None
     arrays = SceneArrays(s, opt)
     tracer, _ = build_cluster_tracer(
         np.asarray(arrays.tri_pos), np.asarray(arrays.tri_instance))
 
     tot_u = tot_p = 0.0
-    for i, (k, o, d, tm) in enumerate(waves):
+    for i, (k, o, d, tmin, tm) in enumerate(waves):
         o = jnp.asarray(o)
         d = jnp.asarray(d)
         tm = jnp.asarray(tm)
-        tmin = jnp.full(o.shape[0], 1e-4 if i else 0.0, jnp.float32)
+        # production t_min captured with the wave (ADVICE r3 low #4)
+        tmin = jnp.asarray(tmin)
         ah = k == "shadow"
         ms_u, r_u = bench(trace_unsorted, tracer, o, d, tmin, tm,
                           any_hit=ah, n=3)

@@ -91,14 +91,29 @@ def validate_restir_vs_pt(scene, width, height, tolerance,
             print(f"PT reference render failed with code {ret}")
             return ret
         ret = main([f"--renderer={name}", f"--width={width}",
-                    f"--height={height}", "--accumulation",
+                    f"--height={height}",
                     f"--frames={frames}",
                     f"--headless={tmpdir}/re", scene])
         if ret != 0:
             print(f"{name} render failed with code {ret}")
             return ret
-        mine = exr.read_rgb(f"{tmpdir}/re.exr")
-        ref = exr.read_rgb(f"{tmpdir}/pt.exr")
+        # ReSTIR emits per-frame output (temporal reuse lives in the
+        # renderer, not a frame accumulator), so the "accumulated
+        # ReSTIR" image is the mean over the per-frame EXRs
+        # re0.exr..re{frames-1}.exr — ADVICE r3 high/medium: with
+        # --frames=N HeadlessOutput writes indexed files and the
+        # renderer's --accumulation flag is not what converges ReSTIR
+        # to PT; averaging the frames is.
+        try:
+            acc = None
+            for i in range(frames):
+                f = exr.read_rgb(f"{tmpdir}/re{i}.exr")
+                acc = f if acc is None else acc + f
+            mine = acc / frames
+            ref = exr.read_rgb(f"{tmpdir}/pt.exr")
+        except (FileNotFoundError, OSError) as e:
+            print(f"{name}: missing output frame ({e}) — counting as FAIL")
+            return -1
         diff = np.nan_to_num(mine - ref, nan=0.0, posinf=0.0, neginf=0.0)
         mse_q = float(np.mean(diff ** 2)) * 65535
         print(f"{name} vs converged PT ({pt_spp} spp): MSE(quantum scale)"

@@ -44,7 +44,7 @@ def main():
     rr.reset_accumulation()
     rr.render()
     waves = [(k, np.asarray(o), np.asarray(d), np.asarray(tm))
-             for k, o, d, tm in pt._WAVE_DUMP]
+             for k, o, d, _tmin, tm in pt._WAVE_DUMP]
     pt._WAVE_DUMP = None
     arrays = SceneArrays(s, opt)
     tracer, _ = build_cluster_tracer(

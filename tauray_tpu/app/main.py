@@ -230,7 +230,13 @@ def replay_viewer(opt: Options, s: Scene):
             anim.update(s, 0, True)
             if hasattr(rr, "update_frame"):
                 rr.update_frame()
-            rr.render()
+            # renderers whose warmup only advances internal state (the
+            # DSHGI SH probe blend) expose a cheap warmup_step — the
+            # final image is identical, the raster draw is skipped
+            if hasattr(rr, "warmup_step"):
+                rr.warmup_step()
+            else:
+                rr.render()
 
     update_dt = round(1000000.0 / opt.framerate)
     i = 0

@@ -229,6 +229,70 @@ class ClusterTracer:
         return Hit(t, tid, u, v), alpha_flag
 
 
+def wave_activation_stats(tracer: ClusterTracer, o, d, t_min, t_max,
+                          sort: bool) -> dict:
+    """Phase-1 activation statistics for one wave under the PRODUCTION
+    traversal configuration (same padding, same signature sort, same
+    per-tile counts the kernel walks). Returns python floats:
+    triangle tests per LANE ray and per LIVE ray, steps/tile, live
+    fraction. This is the VERDICT-r3 "tests_per_ray" diagnostic —
+    bench.py reports it per wave type."""
+    from .pallas_trace import KBV, TILE as PT, vm_fits
+    o = jnp.asarray(o, jnp.float32)
+    d = jnp.asarray(d, jnp.float32)
+    R0 = o.shape[0]
+    t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (R0,))
+    t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (R0,))
+    pad = (-R0) % (TILE * max(TILE_CHUNK, 8))
+    if pad:
+        o = jnp.concatenate([o, jnp.zeros((pad, 3), o.dtype)])
+        d = jnp.concatenate([d, jnp.ones((pad, 3), d.dtype)])
+        t_min = jnp.concatenate([t_min, jnp.ones(pad, jnp.float32)])
+        t_max = jnp.concatenate([t_max, jnp.zeros(pad, jnp.float32)])
+    C = tracer.n_clusters
+    kbv = KBV if vm_fits(C) else KB
+    n_tiles = o.shape[0] // PT
+
+    @partial(jax.jit, static_argnames=("do_sort",))
+    def _stats(tracer, o, d, t_min, t_max, do_sort):
+        if do_sort:
+            key = _sig_sort_key(tracer, o, d, t_min, t_max)
+            perm = jnp.argsort(key)
+            o, d, t_min, t_max = (x[perm] for x in (o, d, t_min, t_max))
+        R = o.shape[0]
+        n_blocks = R // TILE
+        sub = TILE // PT
+        ro = o.reshape(n_blocks, TILE, 3)
+        rd = d.reshape(n_blocks, TILE, 3)
+        inv_d = jnp.where(rd == 0, jnp.float32(3e38),
+                          1.0 / jnp.where(rd == 0, 1.0, rd))
+        tn, tf = _slab_t_soa(
+            ro[:, None, :, 0], ro[:, None, :, 1], ro[:, None, :, 2],
+            inv_d[:, None, :, 0], inv_d[:, None, :, 1],
+            inv_d[:, None, :, 2], tracer.cmin, tracer.cmax)
+        tn = jnp.maximum(tn, t_min.reshape(n_blocks, TILE)[:, None, :])
+        act = (tf >= tn) & (tn <= t_max.reshape(n_blocks, TILE)[:, None, :])
+        tile_act = jnp.any(
+            act.reshape(n_blocks, C, sub, PT), axis=3)  # (n_blocks, C, sub)
+        counts = jnp.sum(tile_act, axis=1).reshape(-1).astype(jnp.int32)
+        steps = (counts + kbv - 1) // kbv
+        per_ray_need = jnp.sum(act, axis=1)             # (n_blocks, TILE)
+        live = jnp.sum(t_max > 0)
+        return (jnp.sum(steps), jnp.sum(counts), live,
+                jnp.sum(per_ray_need))
+
+    stats = jax.device_get(_stats(tracer, o, d, t_min, t_max, sort))
+    steps_sum, counts_sum, live_n, need_sum = (float(x) for x in stats)
+    tests = steps_sum * kbv * CLUSTER * PT
+    return dict(
+        rays=float(R0), live=live_n,
+        tests_per_lane=tests / max(R0, 1),
+        tests_per_live=tests / max(live_n, 1),
+        clusters_per_tile=counts_sum / max(n_tiles, 1),
+        steps_per_tile=steps_sum / max(n_tiles, 1),
+        need_per_ray=need_sum / max(live_n, 1))
+
+
 def _median_order(centroids, ids) -> np.ndarray:
     """Recursive median split on the widest centroid axis, cut at
     CLUSTER multiples so leaves stay full; iterative stack to avoid
@@ -305,7 +369,7 @@ def tri_opacity(tri_instance, inst_has_alpha) -> np.ndarray:
 
 def build_cluster_tracer(tri_pos, tri_instance, tri_opaque=None,
                          strategy: str = "all-merged-static",
-                         inst_dynamic=None
+                         inst_dynamic=None, inst_entity=None
                          ) -> Tuple[ClusterTracer, np.ndarray]:
     """Host-side build: morton sort + clustering. Returns (tracer, perm).
 
@@ -313,13 +377,19 @@ def build_cluster_tracer(tri_pos, tri_instance, tri_opaque=None,
     material. Folded into a per-cluster flag for any-hit early exit.
 
     strategy mirrors the reference's --as-strategy BLAS grouping
-    (reference: src/scene_stage.hh:20-26): clusters never span group
+    (reference: src/scene_stage.hh:20-26, scene_stage.cc:881-935 —
+    the unit iterated there is a (mesh, material) pair, which is
+    exactly one SceneArrays instance here): clusters never span group
     boundaries, so a moving group only dirties its own clusters and
     static clusters keep bit-identical AABBs across frames:
       * "all-merged-static"  — one global morton order (group = scene)
-      * "per-model"/"per-material" — one group per instance
+      * "per-material" — one group per instance (= per (model,
+        material), reference PER_MATERIAL)
+      * "per-model" — instances of the same ENTITY merge into one
+        group (reference PER_MODEL hash-combines consecutive
+        same-object instances); inst_entity: (I,) entity per instance
       * "static-merged-dynamic-per-model" — static instances share one
-        group, each dynamic (animated/skinned) instance gets its own;
+        group, each dynamic (animated/skinned) ENTITY gets its own;
         inst_dynamic: (I,) bool marks the dynamic instances."""
     tri_pos = np.asarray(tri_pos)
     tri_instance = np.asarray(tri_instance)
@@ -333,12 +403,16 @@ def build_cluster_tracer(tri_pos, tri_instance, tri_opaque=None,
 
     # group id per triangle (invalid -> last group so they sort to the end)
     inst = np.maximum(tri_instance, 0)
-    if strategy in ("per-model", "per-material"):
+    ent = (np.asarray(inst_entity) if inst_entity is not None
+           else np.arange(int(inst.max()) + 1 if len(inst) else 1))
+    if strategy == "per-material":
         group = inst
+    elif strategy == "per-model":
+        group = ent[inst]
     elif strategy == "static-merged-dynamic-per-model" and \
             inst_dynamic is not None and np.asarray(inst_dynamic).any():
         dyn = np.asarray(inst_dynamic, bool)
-        group = np.where(dyn[inst], inst + 1, 0)
+        group = np.where(dyn[inst], ent[inst] + 1, 0)
     else:
         group = np.zeros(T, np.int64)
 

@@ -165,6 +165,7 @@ def intersect_spheres(origins, dirs, t_min, t_max, centers, radii):
     valid = (disc >= 0) & (r > 0) & (t >= t_min[:, None]) & (t < t_max[:, None])
     t = jnp.where(valid, t, RAY_MAX_DIST)
     best = jnp.argmin(t, axis=1).astype(jnp.int32)
-    rows = jnp.arange(t.shape[0])
-    bt = t[rows, best]
+    # min, not t[rows, best]: the per-row indexed read lowers to a
+    # 1M-row gather (~7.5 ms/wave measured) while min fuses free
+    bt = jnp.min(t, axis=1)
     return bt, jnp.where(bt < RAY_MAX_DIST, best, -1)

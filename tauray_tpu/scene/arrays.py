@@ -99,6 +99,12 @@ class SceneArrays:
                     joints=m.joints, weights=m.weights,
                     entity_index=ei, material=vg.mat,
                     shadow_terminator_mul=st_mul))
+        # (I,) entity per instance — per-model AS grouping merges
+        # instances (vertex groups) of the same entity (reference:
+        # src/scene_stage.cc:886-895 PER_MODEL hash-combines consecutive
+        # same-object instances into one BLAS)
+        self.inst_entity = np.asarray(
+            [ig.entity_index for ig in self.instances], np.int64)
 
     def _effective_material(self, mat: Material) -> Material:
         import copy

@@ -73,7 +73,7 @@ class DeviceScene(NamedTuple):
     # reads ONE wide row per table instead of ~37 narrow gathers
     tri_packed: Any         # (T, 49) f32, see _pack_triangles
     inst_packed: Any        # (I, 32) f32, see _pack_instances
-    tex_atlas: Any          # (HA, WA, 64) u8 4x4-block mip atlas
+    tex_atlas: Any          # (HA, WA, 16) i32 word-packed 4x4-block atlas
     tex_meta: Any           # (N, MAX_MIPS, 4) i32 [bx, by, w, h]
     tex_nmips: Any          # (N,) i32
     pl_packed: Any          # (P, 16) f32, see _pack_lights
@@ -345,7 +345,12 @@ def to_device_scene(sa: SceneArrays, transparent_background: bool = False
     cache = getattr(sa, "_device_static_cache", None)
     if cache is None:
         cache = {
-            "tex_atlas": jnp.asarray(sa.tex_atlas),
+            # device copy is int32-WORD-packed (HA, WA, 16): u8-row
+            # gathers take a slow (4,1)-sublane-packed path (~18 ms/1M
+            # rows vs ~7.5 for word rows, hlo_stats fusion.30);
+            # sample_texture_quad unpacks bytes with shifts on the VPU
+            "tex_atlas": jnp.asarray(
+                np.ascontiguousarray(sa.tex_atlas).view(np.int32)),
             "tex_meta": jnp.asarray(sa.tex_meta),
             "tex_nmips": jnp.asarray(sa.tex_nmips),
             "env_map": jnp.asarray(env_map),

@@ -347,19 +347,22 @@ def _shade_bounce(cfg: PTConfig, scene: DeviceScene, state, hit, vis,
     miss = ~tri_hit & ~light_hit
 
     # ---- intersection info (reference: get_intersection_info) ---------
+    # ONE tri_packed row gather serves interpolation, material constants,
+    # emissive flag and NEE corner reads below — the column-indexed reads
+    # this replaces each lowered to their OWN 1M-row gather from a
+    # transposed table copy (~11 ms/wave each, hlo_stats fusion.35)
+    from ..scene.device import IP_LIGHTBASE, TP_IP, TP_POS
+    g_row = scene.tri_packed[jnp.maximum(hit.tri_id, 0)]
     # ray_origin: barycentrics recomputed from the gathered row — the
     # traversal ran with need_uv=False (no barycentric post-pass gather)
     v = interpolate_vertex(scene, hit.tri_id, hit.u, hit.v, safe_view,
-                           ray_origin=pos)
-    mat, v = sample_material(scene, v, slots=cfg.tex_slots)
+                           ray_origin=pos, row=g_row)
+    mat, v = sample_material(scene, v, slots=cfg.tex_slots, row=g_row)
     mat = mat._replace(albedo=jnp.concatenate(
         [mat.albedo[:, :3], jnp.ones((R, 1), jnp.float32)], axis=-1))
 
-    from ..scene.device import IP_LIGHTBASE, TP_IP, TP_POS
     inst = jnp.maximum(v.instance_id, 0)
-    # from the tri_packed row (CSEs with interpolate_vertex's gather)
-    is_emissive_inst = scene.tri_packed[
-        jnp.maximum(hit.tri_id, 0), TP_IP + IP_LIGHTBASE] >= 0
+    is_emissive_inst = g_row[:, TP_IP + IP_LIGHTBASE] >= 0
 
     nee_point = jnp.zeros(R, jnp.float32)
     nee_dir = jnp.zeros(R, jnp.float32)
@@ -369,9 +372,8 @@ def _shade_bounce(cfg: PTConfig, scene: DeviceScene, state, hit, vis,
     emission = mat.emission
 
     if cfg.nee.triangle > 0:
-        # corner positions from the tri_packed row (CSEs with
-        # interpolate_vertex's gather)
-        gp = scene.tri_packed[jnp.maximum(hit.tri_id, 0)]
+        # corner positions from the shared tri_packed row gather
+        gp = g_row
         tri_pdf = sample_triangle_light_pdf(
             v.pos - pos,
             gp[:, TP_POS + 0:TP_POS + 3] - pos,
@@ -761,7 +763,7 @@ def _run_bounce(cfg: PTConfig, scene: DeviceScene, tracer, state, b_idx,
     # (Round-3's corridor key was a net loss; the signature key's
     # far-stronger grouping flipped the trade — scripts/sortsig_lab.py.)
     if _WAVE_DUMP is not None:              # perf-lab capture, dev only
-        _WAVE_DUMP.append(("bounce", pos, view, t_max))
+        _WAVE_DUMP.append(("bounce", pos, view, t_min, t_max))
     _sort_env = os.environ.get("TAURAY_WAVE_SORT", "1") == "1"
     hit = host_trace_alpha(scene, tracer, pos, view, t_min, t_max,
                            alpha_u, cfg.has_alpha_materials,
@@ -773,7 +775,8 @@ def _run_bounce(cfg: PTConfig, scene: DeviceScene, tracer, state, b_idx,
             cfg, scene, seed, alpha_seed, hit, pos, view, coord, slot)
         sh_len = jnp.where(alive & (hit.tri_id >= 0), sh_len, 0.0)
         if _WAVE_DUMP is not None:          # perf-lab capture, dev only
-            _WAVE_DUMP.append(("shadow", sh_o, sh_d, sh_len))
+            _WAVE_DUMP.append(("shadow", sh_o, sh_d, cfg.min_ray_dist,
+                               sh_len))
         sh = host_trace_alpha(scene, tracer, sh_o, sh_d, cfg.min_ray_dist,
                               sh_len, nee_alpha_u, cfg.has_alpha_materials,
                               any_hit=True, sort=_sort_env)

@@ -62,6 +62,41 @@ def test_static_clusters_stable_when_dynamic_moves():
                               cmin1[~static_cluster])
 
 
+def test_per_material_vs_per_model_grouping():
+    """Two materials (= two instances) of ONE entity: per-material puts
+    them in different clusters, per-model merges them into one group
+    (reference: src/scene_stage.cc:881-895 — PER_MATERIAL one group per
+    (mesh, material) instance, PER_MODEL merges same-object ones)."""
+    rng = np.random.default_rng(2)
+    n = 100
+    # interleaved in space so a merged group would mix the instances
+    base = rng.random((2 * n, 3)).astype(np.float32)
+    tri_pos = (base[:, None, :] +
+               rng.random((2 * n, 3, 3)).astype(np.float32) * 0.05)
+    tri_inst = np.zeros(2 * n, np.int32)
+    tri_inst[n:] = 1                      # two instances (materials)
+    inst_entity = np.array([7, 7])        # ...of the SAME entity
+
+    tracer_mat, perm_mat = build_cluster_tracer(
+        tri_pos, tri_inst, strategy="per-material",
+        inst_entity=inst_entity)
+    C = tracer_mat.n_clusters
+    inst_of = tri_inst[perm_mat].reshape(C, CLUSTER)
+    valid = np.asarray(tracer_mat.tri_valid)
+    for c in range(C):
+        ids = np.unique(inst_of[c][valid[c]])
+        assert len(ids) <= 1, f"per-material cluster {c} mixes {ids}"
+
+    tracer_mod, perm_mod = build_cluster_tracer(
+        tri_pos, tri_inst, strategy="per-model", inst_entity=inst_entity)
+    Cm = tracer_mod.n_clusters
+    inst_of_m = tri_inst[perm_mod].reshape(Cm, CLUSTER)
+    valid_m = np.asarray(tracer_mod.tri_valid)
+    mixed = any(
+        len(np.unique(inst_of_m[c][valid_m[c]])) > 1 for c in range(Cm))
+    assert mixed, "per-model should merge same-entity materials"
+
+
 def test_all_strategies_trace_identically():
     import jax.numpy as jnp
     tri_pos, tri_inst = _scene()
