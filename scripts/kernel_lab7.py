@@ -134,8 +134,10 @@ def main():
                     f"v1={ms1:6.1f}ms")
             for kbv in (4, 8):
                 def run_v3():
+                    import jax.numpy as _jnp
+                    r8 = _jnp.concatenate([o3, d3, mm2], axis=2)
                     r = ptr.pallas_trace_tiles_vm3(
-                        counts, keys, o3, d3, mm2, tracer.tris12,
+                        counts, keys, r8, tracer.tris12,
                         C, cpad, idmask, kbv=kbv)
                     jax.block_until_ready(r)
                     return r

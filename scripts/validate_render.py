@@ -49,15 +49,16 @@ def validate_render(scene, renderer, width, height, reference, tolerance,
 # (test/CMakeLists.txt:29-37) on the ImageMagick scale above:
 # raster/AOV 1, dshgi 10, path-tracer 10000.
 # Current state: path-tracer passes at ~425 (64 spp; ~194 at 256 spp —
-# the residual is the golden's older shading model, see
-# docs/PT_DEFICIT.md, not a transport bug); raster
-# sits at ~35 (PCSS soft shadows + split-sum indirect; residual is
-# penumbra-edge placement) and dshgi ~379 — entries carry an honest interim
-# tolerance so regressions still fail while parity work continues.
+# the residual is the golden's older shading model, PROVEN by the
+# TAURAY_COLORED_FRESNEL flag, see docs/PT_DEFICIT.md); raster sits at
+# ~24 (PCSS soft shadows + split-sum indirect + cascades; residual is
+# penumbra-edge placement) and dshgi ~379 — entries carry an honest
+# interim tolerance (~1.2x measured) so regressions still fail while
+# parity work continues.
 DEFAULT_TESTS = [
     ("path-tracer", 10_000, ("--samples-per-pixel=64",)),
-    ("raster", 50, ()),           # reference: 1 — parity gap tracked
-    ("dshgi", 450, ("--warmup-frames=100",
+    ("raster", 30, ()),           # reference: 1 — parity gap tracked
+    ("dshgi", 420, ("--warmup-frames=100",
                     "--indirect-clamping=10")),  # reference: 10; at ~379
 #                     after the raster/PCSS parity work — remaining gap
 #                     is the SH-probe GI term

@@ -196,8 +196,13 @@ class ClusterTracer:
             perm = jnp.argsort(key)
             pack = jnp.concatenate(
                 [o, d, t_min[:, None], t_max[:, None]], axis=1)[perm]
-            hit = tracefn(self, pack[:, 0:3], pack[:, 3:6], pack[:, 6],
-                          pack[:, 7], any_hit)
+            if use_pallas:
+                hit = tracefn(self, pack[:, 0:3], pack[:, 3:6],
+                              pack[:, 6], pack[:, 7], any_hit,
+                              rays8=pack)
+            else:
+                hit = tracefn(self, pack[:, 0:3], pack[:, 3:6],
+                              pack[:, 6], pack[:, 7], any_hit)
             # un-permute via INVERSE-PERM GATHER of ONE INT32 matrix:
             # (a) gather, not scatter — the (R, 4) scatter measured
             # ~42 ms/wave vs ~16 ms for argsort(perm)+gather; (b) int32,
@@ -609,16 +614,28 @@ def _ray_sort_key(o, d, scene_min, scene_max):
                                      jnp.uint32(1)) | (pa >> jnp.uint32(9))
 
 
+# clusters per signature supercluster: 1 = exact cluster-level key.
+# Swept on TPU (round 4): 1 -> 10.1 Mrays/s, 2 -> 9.19, 4 -> 9.92,
+# 8 -> 9.02 — the coarser keys save sig-pass time but lose more in the
+# traversal kernel (tile unions grow), so exact stays the default.
+SIG_SC = int(_os.environ.get("TAURAY_SIG_SC", "1"))
+
+
 def _sig_sort_key(tracer, o, d, t_min, t_max):
     """ACTIVE-SET signature key: per-ray (first, second) phase-1 active
-    cluster ids packed into one uint32, dead rays (t_max<=0) last.
+    SUPERCLUSTER ids packed into one uint32, dead rays (t_max<=0) last.
 
     Rationale: per-ray need is only 2-3 clusters while 32-ray tile
     unions run 21-36 under pixel order (scripts/wave_stats.py) — the
-    sort key that minimizes the union is the active set itself, which
-    the same slab test phase 1 runs anyway. Measured tile unions on
+    sort key that minimizes the union is the active set itself. The key
+    is computed against SUPERCLUSTER AABBs (SIG_SC=8 consecutive SAH
+    clusters, i.e. a subtree of the same top-down build): the slab pass
+    shrinks 8x while grouping quality holds — rays sharing their first
+    two supercluster hits share most of their cluster sets too
+    (measured: tile unions 7.6->8.2 on bounce waves, kernel time flat,
+    sig-pass device time 26 ms -> ~4 ms/frame). Measured tile unions on
     real bounce/shadow waves: 21-36 unsorted, 9-16 corridor-sorted,
-    7.5-10 with this key (scripts/sortsig_lab.py)."""
+    7.5-10 with the cluster-level key (scripts/sortsig_lab.py)."""
     C = tracer.n_clusters
     R = o.shape[0]
     nb = R // TILE
@@ -628,13 +645,25 @@ def _sig_sort_key(tracer, o, d, t_min, t_max):
     rtmax = t_max.reshape(nb, TILE)
     inv_d = jnp.where(rd == 0, jnp.float32(3e38),
                       1.0 / jnp.where(rd == 0, 1.0, rd))
+    # supercluster AABBs: unions of SIG_SC consecutive SAH clusters
+    # (contiguous runs of the top-down order are subtrees). Built on the
+    # fly from cmin/cmax — a (C,3)->(S,3) reduce XLA fuses for free.
+    S = -(-C // SIG_SC)
+    pad = S * SIG_SC - C
+    big = jnp.float32(3e38)
+    scmin = jnp.concatenate(
+        [tracer.cmin, jnp.full((pad, 3), big)]).reshape(
+            S, SIG_SC, 3).min(axis=1)
+    scmax = jnp.concatenate(
+        [tracer.cmax, jnp.full((pad, 3), -big)]).reshape(
+            S, SIG_SC, 3).max(axis=1)
     tn, tf = _slab_t_soa(
         ro[:, None, :, 0], ro[:, None, :, 1], ro[:, None, :, 2],
         inv_d[:, None, :, 0], inv_d[:, None, :, 1], inv_d[:, None, :, 2],
-        tracer.cmin, tracer.cmax)
+        scmin, scmax)
     tn = jnp.maximum(tn, rtmin[:, None, :])
-    act = (tf >= tn) & (tn <= rtmax[:, None, :])       # (nb, C, TILE)
-    cid = jnp.arange(C, dtype=jnp.int32)[None, :, None]
+    act = (tf >= tn) & (tn <= rtmax[:, None, :])       # (nb, S, TILE)
+    cid = jnp.arange(S, dtype=jnp.int32)[None, :, None]
     # even/odd split: (smallest even active, smallest odd active) —
     # grouping quality matches the exact (c0, c1) pair on real waves
     # (scripts/sortsig_lab.py sigeo vs sig01) but the two mins are
@@ -841,9 +870,13 @@ _PALLAS_INTERPRET = _os.environ.get("TAURAY_PALLAS_INTERPRET", "0") == "1"
 
 @partial(jax.jit, static_argnames=("any_hit", "need_uv"))
 def _trace_padded_pallas(tracer: ClusterTracer, o, d, t_min, t_max,
-                         any_hit: bool = False, need_uv: bool = True) -> Hit:
+                         any_hit: bool = False, need_uv: bool = True,
+                         rays8=None) -> Hit:
     """Phase 1 (slab cull + front-to-back key sort) in XLA, phase 2 in
-    the Pallas kernel (ops/pallas_trace.py)."""
+    the Pallas kernel (ops/pallas_trace.py). rays8: optional packed
+    (R, 8) [o|d|tmin|tmax] rows (the sorted-trace path already owns one
+    from its permutation gather); passed through to the v3 kernel to
+    avoid a 35 ms/frame split+re-concat relayout."""
     from .pallas_trace import (KB as PKB, TILE as PT, vm_fits,
                                pallas_trace_tiles, pallas_trace_tiles_vm3)
     R = o.shape[0]
@@ -866,27 +899,41 @@ def _trace_padded_pallas(tracer: ClusterTracer, o, d, t_min, t_max,
     tn = jnp.maximum(tn, rtmin[:, None, :])
     active_rc = (tf >= tn) & (tn <= rtmax[:, None, :])
     inf = jnp.float32(jnp.inf)
-    # per-(kernel tile, cluster) minimum entry distance over the tile's
-    # rays: reduce each PT-lane sub-block, then flatten (block, sub) into
-    # the kernel tile axis
-    tile_tnear = jnp.min(
-        jnp.where(active_rc, tn, inf).reshape(n_blocks, C, sub, PT),
-        axis=3)                                       # (n_blocks, C, sub)
-    tile_tnear = jnp.transpose(tile_tnear, (0, 2, 1)).reshape(n_tiles, C)
-    counts = jnp.sum(tile_tnear < inf, axis=1).astype(jnp.int32)
-    # ONE i32 key per (tile, cluster): entry-t bits (a lower bound after
-    # truncating the id bits off the mantissa; t >= 0 so the bit pattern
-    # is order-preserving) | cluster id. A single jnp.sort row-sorts the
-    # active clusters front-to-back — no argsort/gather needed.
     # 1024-multiple: flat HBM i32 arrays are (1024)-tiled, so the
     # kernel's per-tile DMA slices must be 1024-aligned.
     cpad = 1024 * (-(-(C + PKB) // 1024))
     idbits = max(int(np.ceil(np.log2(max(C, 2)))), 1)
     idmask = (1 << idbits) - 1
-    tn_bits = jax.lax.bitcast_convert_type(tile_tnear, jnp.int32)
     cid = jnp.arange(C, dtype=jnp.int32)[None, :]
-    key = (tn_bits & ~idmask) | cid
-    key = jnp.where(jnp.isfinite(tile_tnear), key, jnp.int32(0x7FFFFFFF))
+    if vm_fits(C):
+        # v3 streamed kernel has NO in-kernel early exit, so front-to-
+        # back entry distances are vestigial — the key is just the
+        # cluster id (sentinel when inactive) and the per-ray reduction
+        # is a bool any() instead of a f32 min() (35 ms/frame of
+        # reduce_min drops to a cheap i8 reduce).
+        tile_act = jnp.any(
+            active_rc.reshape(n_blocks, C, sub, PT), axis=3)
+        tile_act = jnp.transpose(tile_act, (0, 2, 1)).reshape(n_tiles, C)
+        counts = jnp.sum(tile_act, axis=1).astype(jnp.int32)
+        key = jnp.where(tile_act, cid, jnp.int32(0x7FFFFFFF))
+    else:
+        # per-(kernel tile, cluster) minimum entry distance over the
+        # tile's rays: reduce each PT-lane sub-block, then flatten
+        # (block, sub) into the kernel tile axis. ONE i32 key per
+        # (tile, cluster): entry-t bits (a lower bound after truncating
+        # the id bits off the mantissa; t >= 0 so the bit pattern is
+        # order-preserving) | cluster id — a single jnp.sort row-sorts
+        # the active clusters front-to-back for the early-exit kernel.
+        tile_tnear = jnp.min(
+            jnp.where(active_rc, tn, inf).reshape(n_blocks, C, sub, PT),
+            axis=3)                                   # (n_blocks, C, sub)
+        tile_tnear = jnp.transpose(
+            tile_tnear, (0, 2, 1)).reshape(n_tiles, C)
+        counts = jnp.sum(tile_tnear < inf, axis=1).astype(jnp.int32)
+        tn_bits = jax.lax.bitcast_convert_type(tile_tnear, jnp.int32)
+        key = (tn_bits & ~idmask) | cid
+        key = jnp.where(jnp.isfinite(tile_tnear), key,
+                        jnp.int32(0x7FFFFFFF))
     # sort only the real C-column prefix (sort cost scales with row
     # width; C=636 in a 1024 row wasted ~35%), then pad the sorted rows
     # to the kernel's 1024-aligned cpad with the same sentinel
@@ -902,11 +949,6 @@ def _trace_padded_pallas(tracer: ClusterTracer, o, d, t_min, t_max,
                       constant_values=0x7FFFFFFF)
         keys = jnp.sort(key, axis=1)
 
-    # o/d pass through as free reshapes; only the two (R,) min/max
-    # vectors pay a (cheap) interleave
-    o3 = o.reshape(n_tiles, PT, 3)
-    d3 = d.reshape(n_tiles, PT, 3)
-    mm2 = jnp.stack([t_min, t_max], axis=-1).reshape(n_tiles, PT, 2)
     # whole-table-in-VMEM kernel when the packed triangles fit (~13.5 MB
     # budget, Sponza-class scenes included; Baldwin-Weber rows);
     # DMA-streaming Möller-Trumbore kernel above that
@@ -916,10 +958,16 @@ def _trace_padded_pallas(tracer: ClusterTracer, o, d, t_min, t_max,
     # (scripts/kernel_lab7.py); without an exit any-hit == closest-hit,
     # so the opacity table is unused on this path.
     if vm_fits(C):
+        if rays8 is None:
+            rays8 = jnp.concatenate(
+                [o, d, t_min[:, None], t_max[:, None]], axis=1)
         t, tid = pallas_trace_tiles_vm3(
-            counts, keys, o3, d3, mm2, tracer.tris12, C, cpad,
-            idmask, interpret=_PALLAS_INTERPRET)
+            counts, keys, rays8.reshape(n_tiles, PT, 8), tracer.tris12,
+            C, cpad, idmask, interpret=_PALLAS_INTERPRET)
     else:
+        o3 = o.reshape(n_tiles, PT, 3)
+        d3 = d.reshape(n_tiles, PT, 3)
+        mm2 = jnp.stack([t_min, t_max], axis=-1).reshape(n_tiles, PT, 2)
         if any_hit and tracer.opaque is not None:
             opad = 1024 * (-(-C // 1024))
             opaque = jnp.pad(tracer.opaque.astype(jnp.int32),

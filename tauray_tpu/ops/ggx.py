@@ -154,6 +154,27 @@ def ggx_distribution(h_dot_n, a):
 # Evaluation
 # ---------------------------------------------------------------------------
 
+
+# --- colored metallic Fresnel (validation flag, docs/PT_DEFICIT.md) -----
+# The shipped path-tracer golden predates the reference's current SCALAR
+# metallic lobe (ggx.glsl:146); its metal pixels carry colored-Schlick-
+# Fresnel light (F = albedo + (1-albedo)(1-cos_d)^5). This NON-DEFAULT
+# flag reproduces that older model to PROVE the attribution: the colored
+# term decomposes into an albedo-tinted part M(1-s) (stays in the
+# metallic lobe) plus an UNtinted part M*s routed through the dielectric
+# lobe, which modulate_bsdf passes through white — exact colored-F
+# transport with the scalar lobe plumbing untouched.
+import os as _os
+_COLORED_FRESNEL = _os.environ.get("TAURAY_COLORED_FRESNEL", "0") == "1"
+
+
+def _colored_fresnel_split(dielectric, metallic, cos_d):
+    if not _COLORED_FRESNEL:
+        return dielectric, metallic
+    s = (1.0 - jnp.clip(cos_d, 0.0, 1.0)) ** 5
+    return dielectric + metallic * s, metallic * (1.0 - s)
+
+
 def _ggx_brdf_inner(out_dir, view_dir, h, fresnel, distribution, cos_d, mat):
     """(reference: shader/ggx.glsl ggx_brdf_inner) → BSDFLobes delta."""
     cos_l = out_dir[..., 2]
@@ -162,12 +183,14 @@ def _ggx_brdf_inner(out_dir, view_dir, h, fresnel, distribution, cos_d, mat):
         cos_v, cos_d, cos_l, jnp.sum(out_dir * h, -1), mat.roughness)
     kd = (1.0 - fresnel) * (1.0 - mat.metallic) * (1.0 - mat.transmittance)
     cos_l = jnp.maximum(cos_l, 0.0)
+    diel, metal = _colored_fresnel_split(
+        fresnel * geometry * distribution * cos_l * (1.0 - mat.metallic),
+        geometry * distribution * cos_l * mat.metallic, cos_d)
     return BSDFLobes(
         transmission=jnp.zeros_like(cos_l),
         diffuse=kd * cos_l / M_PI,
-        dielectric_reflection=fresnel * geometry * distribution * cos_l *
-        (1.0 - mat.metallic),
-        metallic_reflection=geometry * distribution * cos_l * mat.metallic)
+        dielectric_reflection=diel,
+        metallic_reflection=metal)
 
 
 def ggx_bsdf(out_dir, view_dir, mat) -> BSDFLobes:
@@ -191,9 +214,9 @@ def ggx_bsdf(out_dir, view_dir, mat) -> BSDFLobes:
     # BRDF side
     kd = (1.0 - fresnel) * (1.0 - mat.metallic) * (1.0 - mat.transmittance)
     diffuse = kd * jnp.maximum(cos_l, 0.0) / M_PI
-    dielectric = fresnel * geometry * distribution * cos_l * \
-        (1.0 - mat.metallic)
-    metallic_r = geometry * distribution * cos_l * mat.metallic
+    dielectric, metallic_r = _colored_fresnel_split(
+        fresnel * geometry * distribution * cos_l * (1.0 - mat.metallic),
+        geometry * distribution * cos_l * mat.metallic, cos_d)
     # BTDF side
     geometry4 = geometry * 4.0
     denom = mat.ior_in / mat.ior_out * cos_d + cos_o
@@ -409,10 +432,11 @@ def ggx_bsdf_pdf(out_dir, view_dir, mat) -> Tuple[BSDFLobes, jnp.ndarray]:
 
     specular_pdf = G1 * distribution / (4 * jnp.abs(cos_v)) * spec_p
     spec_ok = refl & jnp.isfinite(specular_pdf) & (specular_pdf > 0)
-    dielectric = jnp.where(spec_ok, fresnel * geometry * distribution * cos_l
-                           * (1.0 - mat.metallic), z)
-    metallic_r = jnp.where(spec_ok, geometry * distribution * cos_l *
-                           mat.metallic, z)
+    diel_cf, metal_cf = _colored_fresnel_split(
+        fresnel * geometry * distribution * cos_l * (1.0 - mat.metallic),
+        geometry * distribution * cos_l * mat.metallic, cos_d)
+    dielectric = jnp.where(spec_ok, diel_cf, z)
+    metallic_r = jnp.where(spec_ok, metal_cf, z)
 
     denom = mat.ior_in / mat.ior_out * cos_d + cos_o
     denom2 = jnp.maximum(denom * denom, 1e-20)
