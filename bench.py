@@ -172,6 +172,10 @@ def main():
                     "proc://sponza?tris=262144", want_useful=False)
                 result["sponza_1080p"] = {
                     "tris": 270848, "spp": 1,
+                    # explicit stand-in disclosure (VERDICT r3 weak #7):
+                    # procedural Crytek-Sponza-scale atrium, not the
+                    # glTF (no textures/alpha foliage)
+                    "scene": "proc://sponza?tris=262144 (stand-in)",
                     "ms_per_frame": round(dt3 * 1000, 2),
                     "mrays_s": round(lanes3 / dt3 / 1e6, 2)}
             except Exception as e:

@@ -66,7 +66,7 @@ def main():
             nt = R // PT
             ro = o.reshape(nt, PT, 3)
             rd = d.reshape(nt, PT, 3)
-            CH = 2048
+            CH = 256
 
             def chunk(args):
                 ro, rd, tmin, tmax = args
@@ -107,7 +107,7 @@ def main():
                                 NS=NS):
             R = o.shape[0]
             nt0 = R // PT
-            CH = 2048
+            CH = 256
             args = (o.reshape(-1, CH, PT, 3), d.reshape(-1, CH, PT, 3),
                     tmin.reshape(-1, CH, PT), tmax.reshape(-1, CH, PT))
             return jax.lax.map(
@@ -169,9 +169,12 @@ def main():
                 tmin = jnp.concatenate([tmin, jnp.ones(pad)])
                 tmax = jnp.concatenate([tmax, jnp.zeros(pad)])
             if i > 0:
-                key = cl._sig_sort_key(tracer, o, d, tmin, tmax)
-                p = jnp.argsort(key)
-                o, d, tmin, tmax = o[p], d[p], tmin[p], tmax[p]
+                @jax.jit
+                def _sortall(o, d, tmin, tmax):
+                    key = cl._sig_sort_key(tracer, o, d, tmin, tmax)
+                    p = jnp.argsort(key)
+                    return o[p], d[p], tmin[p], tmax[p]
+                o, d, tmin, tmax = _sortall(o, d, tmin, tmax)
             ce = np.asarray(row_counts_perray(o, d, tmin, tmax))
             ci = np.asarray(row_counts_interval(o, d, tmin, tmax))
             print(f"SUB={SUB:3d} wave{i}:{kind:6s} "

@@ -664,18 +664,30 @@ def _sig_sort_key(tracer, o, d, t_min, t_max):
     tn = jnp.maximum(tn, rtmin[:, None, :])
     act = (tf >= tn) & (tn <= rtmax[:, None, :])       # (nb, S, TILE)
     cid = jnp.arange(S, dtype=jnp.int32)[None, :, None]
-    # even/odd split: (smallest even active, smallest odd active) —
-    # grouping quality matches the exact (c0, c1) pair on real waves
-    # (scripts/sortsig_lab.py sigeo vs sig01) but the two mins are
-    # INDEPENDENT, so XLA fuses them into one pass over the slab test
-    # instead of two (c1 > c0 needs c0 first)
-    big = jnp.int32(65535)
-    even = (cid & 1) == 0
-    e0 = jnp.min(jnp.where(act & even, jnp.minimum(cid, big), big),
-                 axis=1)                               # (nb, TILE)
-    e1 = jnp.min(jnp.where(act & ~even, jnp.minimum(cid, big), big),
-                 axis=1)
-    k = (e0.astype(jnp.uint32) << jnp.uint32(16)) | e1.astype(jnp.uint32)
+    # Residue-class split: the key packs the smallest active cluster of
+    # each residue class (independent mins -> XLA fuses them into ONE
+    # pass over the slab test; a true "first k actives" would need k
+    # dependent passes). Small scenes (S <= 1023) pack THREE 10-bit
+    # class mins — measured tile unions 9.4 -> smaller than the
+    # round-3 two-class 16-bit key at identical cost; larger scenes
+    # fall back to two 16-bit class mins.
+    if S <= 1023:
+        big = jnp.int32(1023)
+        mod = cid % 3
+        mins = [jnp.min(jnp.where(act & (mod == r), jnp.minimum(cid, big),
+                                  big), axis=1).astype(jnp.uint32)
+                for r in range(3)]
+        k = (mins[0] << jnp.uint32(20)) | (mins[1] << jnp.uint32(10)) | \
+            mins[2]
+    else:
+        big = jnp.int32(65535)
+        even = (cid & 1) == 0
+        e0 = jnp.min(jnp.where(act & even, jnp.minimum(cid, big), big),
+                     axis=1)                           # (nb, TILE)
+        e1 = jnp.min(jnp.where(act & ~even, jnp.minimum(cid, big), big),
+                     axis=1)
+        k = (e0.astype(jnp.uint32) << jnp.uint32(16)) | \
+            e1.astype(jnp.uint32)
     k = k.reshape(-1)
     return jnp.where(t_max <= 0, jnp.uint32(0xFFFFFFFF), k)
 
@@ -878,7 +890,8 @@ def _trace_padded_pallas(tracer: ClusterTracer, o, d, t_min, t_max,
     from its permutation gather); passed through to the v3 kernel to
     avoid a 35 ms/frame split+re-concat relayout."""
     from .pallas_trace import (KB as PKB, TILE as PT, vm_fits,
-                               pallas_trace_tiles, pallas_trace_tiles_vm3)
+                               pallas_trace_tiles, pallas_trace_tiles_vm2,
+                               pallas_trace_tiles_vm3)
     R = o.shape[0]
     C = tracer.n_clusters
     # slab tests run on 128-ray blocks (full VPU lanes), then reduce to
@@ -905,7 +918,16 @@ def _trace_padded_pallas(tracer: ClusterTracer, o, d, t_min, t_max,
     idbits = max(int(np.ceil(np.log2(max(C, 2)))), 1)
     idmask = (1 << idbits) - 1
     cid = jnp.arange(C, dtype=jnp.int32)[None, :]
-    if vm_fits(C):
+    # VMEM kernel choice (TAURAY_VM_KERNEL=v2|v3 overrides): v3 streams
+    # (tile, step) pairs with NO in-kernel early exit — fastest when
+    # sorted walk lists are short (small scenes: ~1-2 steps/tile, the
+    # while-loop boundary dominates); v2 keeps the per-tile loop WITH
+    # the front-to-back exit — on cluster-heavy scenes (Sponza-class,
+    # C ~2k) exits prune most of the walk and v3's exit-free stream
+    # regressed 1.7x (BENCH r4: sponza 5.4 -> 9.2 s/frame).
+    vm_kern = _os.environ.get("TAURAY_VM_KERNEL", "") or \
+        ("v3" if C <= 1024 else "v2")
+    if vm_fits(C) and vm_kern == "v3":
         # v3 streamed kernel has NO in-kernel early exit, so front-to-
         # back entry distances are vestigial — the key is just the
         # cluster id (sentinel when inactive) and the per-ray reduction
@@ -957,7 +979,7 @@ def _trace_padded_pallas(tracer: ClusterTracer, o, d, t_min, t_max,
     # the exit-carrying v1 on sorted AND unsorted waves
     # (scripts/kernel_lab7.py); without an exit any-hit == closest-hit,
     # so the opacity table is unused on this path.
-    if vm_fits(C):
+    if vm_fits(C) and vm_kern == "v3":
         if rays8 is None:
             rays8 = jnp.concatenate(
                 [o, d, t_min[:, None], t_max[:, None]], axis=1)
@@ -974,9 +996,15 @@ def _trace_padded_pallas(tracer: ClusterTracer, o, d, t_min, t_max,
                              (0, opad - C))
         else:
             opaque = jnp.ones(1024, jnp.int32)
-        t, tid = pallas_trace_tiles(
-            counts, keys, o3, d3, mm2, tracer.tris9, opaque, C, cpad,
-            idmask, any_hit=any_hit, interpret=_PALLAS_INTERPRET)
+        if vm_fits(C):
+            t, tid = pallas_trace_tiles_vm2(
+                counts, keys, o3, d3, mm2, tracer.tris12, opaque, C,
+                cpad, idmask, any_hit=any_hit,
+                interpret=_PALLAS_INTERPRET)
+        else:
+            t, tid = pallas_trace_tiles(
+                counts, keys, o3, d3, mm2, tracer.tris9, opaque, C, cpad,
+                idmask, any_hit=any_hit, interpret=_PALLAS_INTERPRET)
     # barycentrics post-pass: recompute u,v for the single best triangle
     # (one row gather from the packed [v0|e1|e2] table). Skipped with
     # need_uv=False — shading/alpha recompute barycentrics from rows they

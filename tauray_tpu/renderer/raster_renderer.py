@@ -180,6 +180,7 @@ class RasterRenderer(Renderer):
             tonemapped = False
 
         self._prev_cam = cam
+        self.last_gbuf = gbuf   # scripts/raster_deficit.py introspection
         if (self.post.use_svgf or self.post.use_bmfr or self.post.use_taa or
                 self.post.use_temporal_reprojection):
             img = self.post.process(gbuf, cam_origin=np.asarray(cam.origin))

@@ -45,6 +45,17 @@ MSAA_LOCATIONS = {
 }
 
 
+def _normal_from_world(world_to_local):
+    """Grid normal matrix: the INVERSE ROTATION of the grid transform —
+    the reference builds it from the transform's quaternion orientation
+    alone (scene_stage.cc:1131 `mat4(inverse(orientation))`), so scale
+    must be stripped, not inverse-transposed. Consumed by forward.frag's
+    grid SH lookups (forward.frag:139,146,149)."""
+    fwd = jnp.linalg.inv(world_to_local[:3, :3])       # R @ S
+    rot = fwd / jnp.linalg.norm(fwd, axis=0, keepdims=True)
+    return rot.T
+
+
 @partial(jax.jit, static_argnames=("width", "height", "n_views",
                                    "has_alpha"))
 def raster_coverage(scene: DeviceScene, bvh, cam: CameraUniforms,
@@ -151,6 +162,10 @@ def render_raster(scene: DeviceScene, bvh, cam: CameraUniforms,
         reflection = jnp.zeros((R, 3), jnp.float32)
         n_dir = scene.dl_color.shape[0]
         n_point = scene.pl_color.shape[0]
+        # debug AOV: mean punctual shadow visibility (scripts/
+        # raster_deficit.py isolates the golden residual per term)
+        vis_sum = jnp.zeros(R, jnp.float32)
+        vis_n = 0
 
         # directional lights (reference: forward.frag eval_punctual_lights)
         for i in range(n_dir):
@@ -172,6 +187,8 @@ def render_raster(scene: DeviceScene, bvh, cam: CameraUniforms,
             facing = jnp.sum(v.hard_normal * ldir, -1) > 0
             vis = jnp.where(facing, vis, 0.0)
             contrib = jnp.where(active, 1.0, 0.0) * vis
+            if i == 0:
+                vis_sum, vis_n = vis_sum + contrib, vis_n + 1
             color = scene.dl_color[i] * contrib[:, None]
             diffuse, reflection = add_demodulated_color(lobes, color, diffuse,
                                                         reflection)
@@ -231,7 +248,8 @@ def render_raster(scene: DeviceScene, bvh, cam: CameraUniforms,
                 # normal factor (probes behind the surface fade out).
                 g = jnp.clip(g, 0.0, res - 1.0)
                 grid_n = normalize(jnp.einsum(
-                    "ij,rj->ri", world_to_local[:3, :3], v.smooth_normal))
+                    "ij,rj->ri", _normal_from_world(world_to_local),
+                    v.smooth_normal))
             g0 = jnp.floor(g).astype(jnp.int32)
             f = g - g0
             coefs = 0.0
@@ -277,12 +295,18 @@ def render_raster(scene: DeviceScene, bvh, cam: CameraUniforms,
                         wsum = wsum + w
             if use_vis:
                 coefs = coefs / jnp.maximum(wsum, 1e-8)[:, None, None]
+            # evaluation directions in grid-LOCAL frame (reference:
+            # forward.frag:146-152 normal_from_world * mapped_normal /
+            # ref_dir), matching the bake's local-dir SH projection
+            nfw = _normal_from_world(world_to_local)
+            sh_n = normalize(jnp.einsum("ij,rj->ri", nfw, v.mapped_normal))
             inc_diffuse = jnp.maximum(
-                eval_irradiance(coefs, v.mapped_normal, sh_order), 0.0)
+                eval_irradiance(coefs, sh_n, sh_order), 0.0)
             ref_dir = d - 2.0 * jnp.sum(d * v.mapped_normal, -1,
                                         keepdims=True) * v.mapped_normal
+            sh_ref = normalize(jnp.einsum("ij,rj->ri", nfw, ref_dir))
             inc_spec = jnp.maximum(eval_ggx_specular(
-                coefs, ref_dir, jnp.sqrt(mat.roughness), sh_order), 0.0)
+                coefs, sh_ref, jnp.sqrt(mat.roughness), sh_order), 0.0)
         else:
             inc_diffuse = jnp.broadcast_to(jnp.asarray(ambient)[None, :],
                                            (R, 3))
@@ -304,9 +328,10 @@ def render_raster(scene: DeviceScene, bvh, cam: CameraUniforms,
         from ..ops.lights import environment_radiance
         bg, _ = environment_radiance(scene, d, has_envmap)
         rgb = jnp.where(miss[:, None], bg, rgb)
-        return rgb, mat, v, miss, diffuse, reflection
+        svis = vis_sum / max(vis_n, 1)
+        return rgb, mat, v, miss, diffuse, reflection, svis
 
-    rgb, mat, v, miss, diffuse, reflection = shade(hit)
+    rgb, mat, v, miss, diffuse, reflection, shadow_vis = shade(hit)
     # alpha-BLEND materials: composite the front blend layer over
     # the next non-blend surface along the ray (reference: raster
     # pipeline alpha blending; one blend layer deep)
@@ -357,4 +382,5 @@ def render_raster(scene: DeviceScene, bvh, cam: CameraUniforms,
         metallic_roughness=r4(jnp.stack([mat.metallic, mat.roughness],
                                         -1), 2),
         emission=r4(mat.emission, 3),
+        shadow_vis=r4(shadow_vis[:, None], 1)[..., 0],
         view_z=r4(view_z[:, None], 1)[..., 0])
