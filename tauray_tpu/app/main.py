@@ -184,6 +184,20 @@ def generate_cameras(s: Scene, opt: Options) -> List:
     return views
 
 
+def _finish_frame(img, pull: bool) -> np.ndarray:
+    """Finish a device frame: full host readback when a file will be
+    written, otherwise a 4-byte checksum pull that forces execution so
+    frame timing stays honest without the tunnel-bound image transfer."""
+    if isinstance(img, np.ndarray):
+        return img
+    import jax
+    import jax.numpy as jnp
+    if pull:
+        return np.asarray(jax.device_get(img))
+    np.asarray(jnp.sum(img))
+    return img
+
+
 def replay_viewer(opt: Options, s: Scene):
     """Offline/replay render loop (reference: src/tauray.cc:1017-1132)."""
     out = None
@@ -236,7 +250,7 @@ def replay_viewer(opt: Options, s: Scene):
             if hasattr(rr, "warmup_step"):
                 rr.warmup_step()
             else:
-                rr.render()
+                rr.render_device()
 
     update_dt = round(1000000.0 / opt.framerate)
     i = 0
@@ -252,8 +266,14 @@ def replay_viewer(opt: Options, s: Scene):
             if hasattr(rr, "update_frame") and i > 0:
                 rr.update_frame()
             rr.reset_accumulation()
+            # frames stay ON DEVICE unless a file is actually written:
+            # the full-image host pull costs ~1.2 s at 1080p over the
+            # dev tunnel, so readback never sits inside the frame loop
+            # (reference analogue: headless.cc async readback threads)
+            pull = out is not None and out.filetype != "none"
             try:
-                img = rr.render()
+                img = rr.render_device()
+                img = _finish_frame(img, pull)
             except Exception as e:  # renderer-rebuild-on-error loop
                 # (reference: src/tauray.cc:991-1001 swapchain recovery +
                 # tauray.cc:843-859 keep-alive on broken shader reload)
@@ -261,7 +281,7 @@ def replay_viewer(opt: Options, s: Scene):
                         "rebuilding renderer and retrying once")
                 rr = create_renderer(opt, s)
                 rr.set_scene(s)
-                img = rr.render()
+                img = _finish_frame(rr.render_device(), pull)
             tracing.end_frame(rr.get_timing())
             if opt.timing:
                 tracing.print_last_trace()

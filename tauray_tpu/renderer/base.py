@@ -77,9 +77,20 @@ class Renderer:
             raise RuntimeError("No enabled camera in scene")
         return cams
 
-    def render(self) -> np.ndarray:
-        """Returns (V, H, W, 4) float32 for the current frame."""
+    def render_device(self):
+        """Renders the current frame and returns it as a (V, H, W, 4)
+        float32 DEVICE array — no host readback. The frame loop keeps
+        images on device and only pulls pixels when a file is actually
+        written (reference analogue: headless.cc's async readback worker
+        threads keep saving off the render path, headless.hh:127-134).
+        On the dev tunnel a 1080p pull alone costs ~1.2 s (27 MB/s), so
+        readback must never sit inside the render path."""
         raise NotImplementedError
+
+    def render(self) -> np.ndarray:
+        """Returns (V, H, W, 4) float32 for the current frame (host)."""
+        import jax
+        return np.asarray(jax.device_get(self.render_device()))
 
     def reset_accumulation(self, keep_samples: bool = False):
         pass

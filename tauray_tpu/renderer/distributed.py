@@ -220,7 +220,7 @@ class DistributedPathTracerRenderer(PathTracerRenderer):
         if self.opt.accumulation:
             self._stitch_blend = 1.0 / (self.accumulated_frames + 1)
 
-    def render(self) -> np.ndarray:
+    def render_device(self):
         cfg = self.cfg
         opt = self.opt
         vps = self.viewports()
@@ -260,8 +260,8 @@ class DistributedPathTracerRenderer(PathTracerRenderer):
             self.samples_accumulated = sample_base + self.samples_per_pixel
             self.accumulated_frames += 1
             self._prev_cam = cam
-            img = tonemap(color_full, opt.tonemap, opt.exposure, opt.gamma)
-            return np.asarray(img)
+            return tonemap(color_full, opt.tonemap, opt.exposure,
+                           opt.gamma)
         lin_d = self._lin_d
         valid_d = self._valid_d
         for p in range(n_passes):
@@ -287,5 +287,4 @@ class DistributedPathTracerRenderer(PathTracerRenderer):
         self.samples_accumulated = sample_base + self.samples_per_pixel
         self.accumulated_frames += 1
         self._prev_cam = cam
-        img = tonemap(color_full, opt.tonemap, opt.exposure, opt.gamma)
-        return np.asarray(img)
+        return tonemap(color_full, opt.tonemap, opt.exposure, opt.gamma)

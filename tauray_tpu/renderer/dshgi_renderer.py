@@ -65,7 +65,7 @@ class DSHGIServer:
     def get_timing(self):
         return {}
 
-    def render(self) -> np.ndarray:
+    def render_device(self):
         self.sh.step(self._host)
         grids = self.sh.grid_payloads()
         if grids:

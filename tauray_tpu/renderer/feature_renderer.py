@@ -35,7 +35,7 @@ class FeatureRenderer(Renderer):
         """Per-frame scene refresh (animation / camera movement)."""
         self.bvh = self.device_update_frame(self.bvh, self._perm)
 
-    def render(self) -> np.ndarray:
+    def render_device(self):
         vps = self.viewports()
         cam = to_camera_uniforms(self.arrays.camera_uniforms(vps))
         prev_cam = self._prev_cam if self._prev_cam is not None else cam
@@ -52,4 +52,4 @@ class FeatureRenderer(Renderer):
             op = "linear"
         img = tonemap(img, op, self.opt.exposure, self.opt.gamma)
         self._prev_cam = cam
-        return np.asarray(img)
+        return img

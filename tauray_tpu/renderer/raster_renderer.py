@@ -86,7 +86,7 @@ class RasterRenderer(Renderer):
             return None
         return self.sh_source.current_grid_data()
 
-    def render(self) -> np.ndarray:
+    def render_device(self):
         opt = self.opt
         if self.sh_source is not None:
             self.sh_source.step(self)
@@ -189,4 +189,4 @@ class RasterRenderer(Renderer):
                           opt.gamma)
         else:
             img = gbuf["color"]
-        return np.asarray(jax.device_get(img))
+        return img

@@ -116,7 +116,7 @@ class ReSTIRRenderer(Renderer):
     def update_frame(self):
         self.bvh = self.device_update_frame(self.bvh, self._perm)
 
-    def render(self) -> np.ndarray:
+    def render_device(self):
         opt = self.opt
         H, W = opt.height, opt.width
         vps = self.viewports()
@@ -202,4 +202,4 @@ class ReSTIRRenderer(Renderer):
             out = self.post.process(pp, cam_origin=np.asarray(cam.origin))
         else:
             out = tonemap(img, opt.tonemap, opt.exposure, opt.gamma)
-        return np.asarray(jax.device_get(out))
+        return out

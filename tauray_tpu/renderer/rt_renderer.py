@@ -164,7 +164,12 @@ class PathTracerRenderer(Renderer):
         wave_cap = int(_os.environ.get("TAURAY_WAVE_CAP", str(1 << 20)))
         per_call = max(8192, (wave_cap // max(self.samples_per_pass, 1))
                        // 8192 * 8192)
-        self.rays_per_call = min(65536, per_call, pix.shape[0])
+        # pixels per device call: waves up to wave_cap rays. The old
+        # 65536-pixel cap split a 1080p 1-spp frame into 32 dispatches,
+        # each paying the remote-link dispatch latency and every
+        # per-wave fixed cost (measured: Sponza-class 1080p frame wall
+        # 4.2 s vs 2.55 s device — the gap was dispatch overhead).
+        self.rays_per_call = min(per_call, pix.shape[0])
         R = pix.shape[0]
         padr = (-R) % self.rays_per_call
         if padr:
@@ -249,7 +254,7 @@ class PathTracerRenderer(Renderer):
         pt._WAVE_DUMP = None
         return waves
 
-    def render(self) -> np.ndarray:
+    def render_device(self):
         cfg = self.cfg
         vps = self.viewports()
         cam = to_camera_uniforms(self.arrays.camera_uniforms(vps))
@@ -357,4 +362,4 @@ class PathTracerRenderer(Renderer):
             img = color.reshape(V, H, W, 4)
             img = tonemap(img, self.opt.tonemap, self.opt.exposure,
                           self.opt.gamma)
-        return np.asarray(jax.device_get(img))
+        return img
