@@ -188,12 +188,11 @@ class ClusterTracer:
             # bound and width-free to ~128 cols (scripts/gather_lab.py),
             # so the wave permutes as ONE (R, 8) gather in and ONE
             # (R, 2|4) scatter out instead of 8 narrow gathers.
-            # SIGNATURE key: rays grouped by their first two phase-1
-            # active clusters (+ dead rays last) — measured 3-5x fewer
+            # SIGNATURE key: rays grouped by their first phase-1 active
+            # clusters (+ dead rays last) — measured 3-5x fewer
             # tile-union activations than direction-corridor keys on
-            # bounce/shadow waves (scripts/sortsig_lab.py)
-            key = _sig_sort_key(self, o, d, t_min, t_max)
-            perm = jnp.argsort(key)
+            # bounce/shadow waves (scripts/sortsig_lab.py, sigkey_lab2.py)
+            perm = _sig_sort_perm(self, o, d, t_min, t_max)
             pack = jnp.concatenate(
                 [o, d, t_min[:, None], t_max[:, None]], axis=1)[perm]
             if use_pallas:
@@ -692,6 +691,49 @@ def _sig_sort_key(tracer, o, d, t_min, t_max):
     return jnp.where(t_max <= 0, jnp.uint32(0xFFFFFFFF), k)
 
 
+def _sig_sort_perm(tracer, o, d, t_min, t_max):
+    """Ray permutation for the signature sort.
+
+    Default: one argsort of the packed 32-bit class-min key
+    (_sig_sort_key). TAURAY_SIG_LEX=1 enables a 64-bit LEXICOGRAPHIC
+    key for large scenes via two stable argsorts — (min class0 | min
+    class1) major, (min class2 | min class3) minor. It cuts
+    Sponza-class bounce-wave tile unions ~25% (41->32, 57->44 vs a
+    per-ray need of ~6; scripts/sigkey_lab2.py, visited_lab2.py) but
+    costs an extra 2M-row argsort + class-min pass per wave, which
+    MEASURED NET-NEGATIVE on the full frame (2594 -> 2846 ms), so it
+    stays opt-in until the second sort pass gets cheaper."""
+    C = tracer.n_clusters
+    S = -(-C // SIG_SC)
+    if S <= 1023 or _os.environ.get("TAURAY_SIG_LEX") != "1":
+        return jnp.argsort(_sig_sort_key(tracer, o, d, t_min, t_max))
+    R = o.shape[0]
+    nb = R // TILE
+    ro = o.reshape(nb, TILE, 3)
+    rd = d.reshape(nb, TILE, 3)
+    inv_d = jnp.where(rd == 0, jnp.float32(3e38),
+                      1.0 / jnp.where(rd == 0, 1.0, rd))
+    tn, tf = _slab_t_soa(
+        ro[:, None, :, 0], ro[:, None, :, 1], ro[:, None, :, 2],
+        inv_d[:, None, :, 0], inv_d[:, None, :, 1], inv_d[:, None, :, 2],
+        tracer.cmin, tracer.cmax)
+    tn = jnp.maximum(tn, t_min.reshape(nb, TILE)[:, None, :])
+    act = (tf >= tn) & (tn <= t_max.reshape(nb, TILE)[:, None, :])
+    cid = jnp.arange(C, dtype=jnp.int32)[None, :, None]
+    big = jnp.int32(65535)
+    mins = [jnp.min(jnp.where(act & (cid % 4 == r),
+                              jnp.minimum(cid, big), big),
+                    axis=1).astype(jnp.uint32).reshape(-1)
+            for r in range(4)]
+    dead = t_max <= 0
+    major = (mins[0] << jnp.uint32(16)) | mins[1]
+    minor = (mins[2] << jnp.uint32(16)) | mins[3]
+    major = jnp.where(dead, jnp.uint32(0xFFFFFFFF), major)
+    minor = jnp.where(dead, jnp.uint32(0xFFFFFFFF), minor)
+    p1 = jnp.argsort(minor, stable=True)
+    return p1[jnp.argsort(major[p1], stable=True)]
+
+
 def _slab_hit_soa(ox, oy, oz, ix, iy, iz, t_min, t_max, bmin, bmax):
     """SoA slab test: o*/i* are (G, 1, TILE); bmin/bmax (C, 3) broadcast to
     (G, C, 1). Returns (G, C, TILE) bool. Component-separated layout keeps
@@ -919,14 +961,16 @@ def _trace_padded_pallas(tracer: ClusterTracer, o, d, t_min, t_max,
     idmask = (1 << idbits) - 1
     cid = jnp.arange(C, dtype=jnp.int32)[None, :]
     # VMEM kernel choice (TAURAY_VM_KERNEL=v2|v3 overrides): v3 streams
-    # (tile, step) pairs with NO in-kernel early exit — fastest when
-    # sorted walk lists are short (small scenes: ~1-2 steps/tile, the
-    # while-loop boundary dominates); v2 keeps the per-tile loop WITH
-    # the front-to-back exit — on cluster-heavy scenes (Sponza-class,
-    # C ~2k) exits prune most of the walk and v3's exit-free stream
-    # regressed 1.7x (BENCH r4: sponza 5.4 -> 9.2 s/frame).
-    vm_kern = _os.environ.get("TAURAY_VM_KERNEL", "") or \
-        ("v3" if C <= 1024 else "v2")
+    # (tile, step) pairs with NO in-kernel early exit and takes the
+    # cheap bool phase-1 (id-only keys, no f32 entry-distance reduce).
+    # Round 4 guarded v3 off for C > 1024 after a Sponza regression;
+    # round 5 traced that regression to the 65536-pixel dispatch
+    # chunking (since removed) — re-measured on equal footing, v3 >= v2
+    # on Sponza too (2594 vs 2615 ms/frame), and the front-to-back exit
+    # saves only 9-21% of steps there (scripts/visited_lab2.py), less
+    # than its f32 key-reduce costs. v3 is now the default wherever the
+    # table fits VMEM.
+    vm_kern = _os.environ.get("TAURAY_VM_KERNEL", "") or "v3"
     if vm_fits(C) and vm_kern == "v3":
         # v3 streamed kernel has NO in-kernel early exit, so front-to-
         # back entry distances are vestigial — the key is just the

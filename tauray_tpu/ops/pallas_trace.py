@@ -545,6 +545,13 @@ BKV = KBV * CLUSTER
 # of the ~16 MB core VMEM.
 VM_BUDGET_MB = float(_os.environ.get("TAURAY_PVMEM_MB", "13.5"))
 
+# per-kernel scoped-VMEM limit: the resident table is ~VM_BUDGET_MB and
+# the default 16 MB scoped limit occasionally trips on fusion-dependent
+# block-buffer padding (observed: "16.40M vs 16.00M limit"); grant the
+# kernels explicit headroom instead
+_VM_PARAMS = pltpu.CompilerParams(
+    vmem_limit_bytes=int((VM_BUDGET_MB + 4.0) * 1e6))
+
 
 def vm_fits(n_clusters: int) -> bool:
     """True when a scene's packed triangle table fits the VMEM-resident
@@ -935,6 +942,7 @@ def pallas_trace_tiles_vm2(counts, keys, o3, d3, mm2, tris12, opaque,
                 idmask=idmask, any_hit=any_hit, kbv=kbv,
                 debug_steps=debug_steps),
         out_shape=out_shape, grid_spec=grid_spec,
+        compiler_params=_VM_PARAMS,
         interpret=interpret,
     )(counts, heads, flat, o3, d3, mm2, tris12, opaque)
     if debug_steps:
@@ -1150,6 +1158,7 @@ def pallas_trace_tiles_vm3(counts, keys, rays8, tris12,
         partial(_kernel_vm3, n_clusters=n_clusters, cpad=cpad,
                 idmask=idmask, kbv=kbv),
         out_shape=out_shape, grid_spec=grid_spec,
+        compiler_params=_VM_PARAMS,
         interpret=interpret,
     )(counts, trips, heads, flat, rays8, tris12)
     t = out[:, :, 0].reshape(-1)
@@ -1199,6 +1208,7 @@ def pallas_trace_tiles_vm(counts, keys, o3, d3, mm2, tris12, opaque,
         partial(_kernel_vm, n_clusters=n_clusters, cpad=cpad,
                 idmask=idmask, any_hit=any_hit, debug_steps=debug_steps),
         out_shape=out_shape, grid_spec=grid_spec,
+        compiler_params=_VM_PARAMS,
         interpret=interpret,
     )(counts, keys, o3, d3, mm2, tris12, opaque)
     if debug_steps:
