@@ -1029,7 +1029,8 @@ def _trace_padded_pallas(tracer: ClusterTracer, o, d, t_min, t_max,
                 [o, d, t_min[:, None], t_max[:, None]], axis=1)
         t, tid = pallas_trace_tiles_vm3(
             counts, keys, rays8.reshape(n_tiles, PT, 8), tracer.tris12,
-            C, cpad, idmask, interpret=_PALLAS_INTERPRET)
+            C, cpad, idmask, interpret=_PALLAS_INTERPRET,
+            mxu=_os.environ.get("TAURAY_MXU", "0") == "1")
     else:
         o3 = o.reshape(n_tiles, PT, 3)
         d3 = d.reshape(n_tiles, PT, 3)

@@ -51,7 +51,9 @@ from jax.experimental.pallas import tpu as pltpu
 import os as _os
 
 TILE = int(_os.environ.get("TAURAY_PTILE", "32"))
-CLUSTER = 128
+# must match ops/cluster.CLUSTER (tris per cluster): the kernels' block
+# shapes and id arithmetic are derived from it
+CLUSTER = int(_os.environ.get("TAURAY_CLUSTER", "128"))
 KB = int(_os.environ.get("TAURAY_PKB", "8"))  # clusters per loop iteration
 BK = KB * CLUSTER
 G = int(_os.environ.get("TAURAY_PG", "32"))   # ray tiles per grid step
@@ -980,9 +982,11 @@ def _kernel_vm3(counts_ref,            # scalar prefetch (n_tiles,)
                 full_ref,              # (n_tiles*cpad,) i32 HBM full rows
                 rays_ref,              # (G, TILE, 8) VMEM packed rays
                 tris_ref,              # (C, 12, 1, CLUSTER) VMEM resident
+                                       # (or (C, 3, 4, CLUSTER) when mxu)
                 out_ref,               # (G, TILE, 2) VMEM block
                 head_scr, ovf_scr, head_sem, ovf_sem,
-                *, n_clusters: int, cpad: int, idmask: int, kbv: int):
+                *, n_clusters: int, cpad: int, idmask: int, kbv: int,
+                mxu: bool = False):
     b = pl.program_id(0)
     nb = pl.num_programs(0)
     bkv = kbv * CLUSTER
@@ -1061,28 +1065,56 @@ def _kernel_vm3(counts_ref,            # scalar prefetch (n_tiles,)
         bt = jnp.where(first, jnp.minimum(tmax, BIG), bt)
         bi = jnp.where(first, jnp.int32(-1), bi)
 
-        nx = tri[0]
-        ny = tri[1]
-        nz = tri[2]
-        ndot = tri[3]
-        r1x = tri[4]
-        r1y = tri[5]
-        r1z = tri[6]
-        r1d = tri[7]
-        r2x = tri[8]
-        r2y = tri[9]
-        r2z = tri[10]
-        r2d = tri[11]
+        if mxu:
+            # MXU step: the Baldwin-Weber test as six dot products.
+            # tri is (3, 4, bkv): [type(n,r1,r2), row(x,y,z,-dotv0),
+            # lane]. o4 @ tri[t] gives (v.o - v.dotv0) for type v; d3 @
+            # tri[t,0:3] gives v.d — the ~30-op per-lane arithmetic
+            # moves to the otherwise-idle MXU, leaving a ~15-op VPU
+            # epilogue.
+            o4 = jnp.concatenate(
+                [rays[:, 0:3], jnp.ones((TILE, 1), jnp.float32)], axis=1)
+            d3 = rays[:, 3:6]
 
-        den = nx * dx + ny * dy + nz * dz
-        num = ndot - (nx * ox + ny * oy + nz * oz)
-        f = jnp.where(den != 0, 1.0 / jnp.where(den == 0, 1.0, den), 0.0)
-        tt = num * f
-        px = ox + tt * dx
-        py = oy + tt * dy
-        pz = oz + tt * dz
-        uu = r1x * px + r1y * py + r1z * pz - r1d
-        vv = r2x * px + r2y * py + r2z * pz - r2d
+            def dot(a, bm):
+                return jax.lax.dot_general(
+                    a, bm, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+            on = dot(o4, tri[0])           # n.o - n.v0     (TILE, bkv)
+            or1 = dot(o4, tri[1])          # r1.o - r1.v0
+            or2 = dot(o4, tri[2])          # r2.o - r2.v0
+            den = dot(d3, tri[0, 0:3])     # n.d
+            dr1 = dot(d3, tri[1, 0:3])     # r1.d
+            dr2 = dot(d3, tri[2, 0:3])     # r2.d
+            f = jnp.where(den != 0, 1.0 / jnp.where(den == 0, 1.0, den),
+                          0.0)
+            tt = -on * f
+            uu = or1 + tt * dr1
+            vv = or2 + tt * dr2
+        else:
+            nx = tri[0]
+            ny = tri[1]
+            nz = tri[2]
+            ndot = tri[3]
+            r1x = tri[4]
+            r1y = tri[5]
+            r1z = tri[6]
+            r1d = tri[7]
+            r2x = tri[8]
+            r2y = tri[9]
+            r2z = tri[10]
+            r2d = tri[11]
+
+            den = nx * dx + ny * dy + nz * dz
+            num = ndot - (nx * ox + ny * oy + nz * oz)
+            f = jnp.where(den != 0, 1.0 / jnp.where(den == 0, 1.0, den),
+                          0.0)
+            tt = num * f
+            px = ox + tt * dx
+            py = oy + tt * dy
+            pz = oz + tt * dz
+            uu = r1x * px + r1y * py + r1z * pz - r1d
+            vv = r2x * px + r2y * py + r2z * pz - r2d
         lane_block = jax.lax.broadcasted_iota(
             jnp.int32, (TILE, bkv), 1) // CLUSTER
         slot_ok = (ls * kbv + lane_block) < count
@@ -1118,10 +1150,11 @@ def _kernel_vm3(counts_ref,            # scalar prefetch (n_tiles,)
 
 @partial(jax.jit,
          static_argnames=("n_clusters", "cpad", "idmask", "kbv",
-                          "interpret"))
+                          "interpret", "mxu"))
 def pallas_trace_tiles_vm3(counts, keys, rays8, tris12,
                            n_clusters: int, cpad: int, idmask: int,
-                           kbv: int = KBV, interpret: bool = False):
+                           kbv: int = KBV, interpret: bool = False,
+                           mxu: bool = False):
     """Streamed v3 of the VMEM-resident traversal (same contract as
     pallas_trace_tiles_vm, minus any_hit/opaque: without an in-kernel
     early exit any-hit equals closest-hit). rays8: (n_tiles, TILE, 8)
@@ -1135,6 +1168,13 @@ def pallas_trace_tiles_vm3(counts, keys, rays8, tris12,
     steps = (counts + kbv - 1) // kbv
     trips = jnp.sum(steps.reshape(-1, G), axis=1)
     C = tris12.shape[0]
+    if mxu:
+        # (C, 12, 1, K) -> (C, 3, 4, K) is a pure reshape (tris12's row
+        # order is already type-major: n|ndot|r1|r1d|r2|r2d); the MXU
+        # form wants -dotv0 in the const row
+        t = tris12.reshape(C, 3, 4, CLUSTER)
+        tris12 = jnp.concatenate([t[:, :, 0:3], -t[:, :, 3:4]], axis=2)
+    tri_block = (C, 3, 4, CLUSTER) if mxu else (C, 12, 1, CLUSTER)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_tiles // G,),
@@ -1142,7 +1182,7 @@ def pallas_trace_tiles_vm3(counts, keys, rays8, tris12,
                   pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
                   pl.BlockSpec((G, TILE, 8), lambda b, *_: (b, 0, 0),
                                memory_space=pltpu.VMEM),
-                  pl.BlockSpec((C, 12, 1, CLUSTER),
+                  pl.BlockSpec(tri_block,
                                lambda b, *_: (0, 0, 0, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((G, TILE, 2), lambda b, *_: (b, 0, 0),
@@ -1156,7 +1196,7 @@ def pallas_trace_tiles_vm3(counts, keys, rays8, tris12,
     out_shape = jax.ShapeDtypeStruct((n_tiles, TILE, 2), jnp.float32)
     out = pl.pallas_call(
         partial(_kernel_vm3, n_clusters=n_clusters, cpad=cpad,
-                idmask=idmask, kbv=kbv),
+                idmask=idmask, kbv=kbv, mxu=mxu),
         out_shape=out_shape, grid_spec=grid_spec,
         compiler_params=_VM_PARAMS,
         interpret=interpret,
