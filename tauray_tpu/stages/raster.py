@@ -125,6 +125,21 @@ def render_raster(scene: DeviceScene, bvh, cam: CameraUniforms,
     vp = jnp.repeat(jnp.arange(V), H * W)
     size = jnp.array([W, H], jnp.float32)
 
+    if sample_offset is None:
+        # Exact-tie breaker for shared/silhouette edges: with pixel
+        # centers landing EXACTLY on projected triangle edges (axis-
+        # aligned test scenes at power-of-two resolutions), the
+        # inclusive ray-triangle edge test picks the front triangle
+        # where a hardware rasterizer's fill rule excludes it (measured:
+        # a 1-px diagonal seam vs the raster golden, ~20% of its
+        # residual MSE — scripts/raster_deficit.py). A sub-pixel nudge
+        # (default 2^-12 px) makes the tie generic without visibly
+        # moving any edge.
+        import os as _os
+        eps = float(_os.environ.get("TAURAY_RASTER_SUBPIXEL_EPS",
+                                    str(2.0 ** -12)))
+        if eps:
+            sample_offset = jnp.full((1, 2), eps, jnp.float32)
     origin, d = get_screen_camera_ray(cam, vp, pix, size,
                                       pixel_offset=sample_offset)
     hit = trace_alpha(scene, bvh, origin, d,
@@ -160,6 +175,15 @@ def render_raster(scene: DeviceScene, bvh, cam: CameraUniforms,
 
         diffuse = jnp.zeros((R, 3), jnp.float32)
         reflection = jnp.zeros((R, 3), jnp.float32)
+        # TAURAY_COLORED_FRESNEL=1 (validation-only, see ops/ggx.py):
+        # reproduce the GOLDEN-era colored-Schlick metallic Fresnel.
+        # The demodulated diffuse/reflection channels cannot carry a
+        # per-channel Fresnel through the scalar modulate_color, so the
+        # proof path accumulates a fully-modulated color directly
+        # (direct lights via modulate_bsdf — exact for the split lobes —
+        # and the indirect term with the vec3 Schlick F).
+        from ..ops.ggx import _COLORED_FRESNEL, modulate_bsdf
+        crgb = jnp.zeros((R, 3), jnp.float32) if _COLORED_FRESNEL else None
         n_dir = scene.dl_color.shape[0]
         n_point = scene.pl_color.shape[0]
         # debug AOV: mean punctual shadow visibility (scripts/
@@ -192,6 +216,8 @@ def render_raster(scene: DeviceScene, bvh, cam: CameraUniforms,
             color = scene.dl_color[i] * contrib[:, None]
             diffuse, reflection = add_demodulated_color(lobes, color, diffuse,
                                                         reflection)
+            if crgb is not None:
+                crgb = crgb + color * modulate_bsdf(mat, lobes)
 
         # point/spot lights
         for i in range(n_point):
@@ -226,6 +252,8 @@ def render_raster(scene: DeviceScene, bvh, cam: CameraUniforms,
             color = lcolor * (jnp.where(active, 1.0, 0.0) * vis)[:, None]
             diffuse, reflection = add_demodulated_color(lobes, color, diffuse,
                                                         reflection)
+            if crgb is not None:
+                crgb = crgb + color * modulate_bsdf(mat, lobes)
 
         # indirect: SH grid irradiance or ambient fallback, combined with
         # the split-sum BRDF integration exactly like the reference
@@ -322,6 +350,19 @@ def render_raster(scene: DeviceScene, bvh, cam: CameraUniforms,
         reflection = reflection + inc_spec * spec_w[:, None]
 
         rgb = modulate_color(mat, diffuse, reflection) + mat.emission
+        if crgb is not None:
+            # golden-era indirect: vec3 Schlick F with F0 = mix(0.04,
+            # albedo, metallic) feeds the split-sum directly (untinted
+            # white term survives; the current scalar model routes
+            # everything through the albedo-tinted modulate)
+            alb = mat.albedo[..., :3]
+            met = mat.metallic[:, None]
+            f0v = 0.04 * (1.0 - met) + alb * met
+            fv = f0v + (jnp.maximum(1.0 - mat.roughness[:, None], f0v) -
+                        f0v) * (1.0 - cos_v[:, None]) ** 5
+            spec_c = inc_spec * (fv * bi[..., 0:1] + bi[..., 1:2])
+            diff_c = (kd[:, None] * inc_diffuse) * alb * (1.0 - met)
+            rgb = crgb + diff_c + spec_c + mat.emission
         alpha = jnp.where(miss, 0.0, 1.0)
         # skybox: envmap lookup along the ray like the reference's
         # envmap_stage (reference: shader/envmap.frag), else env_factor

@@ -176,3 +176,46 @@ def test_load_balancer_converges_on_skew():
     want = [s / sum(speeds) for s in speeds]
     for w, want_w in zip(lb.workloads, want):
         assert abs(w - want_w) / want_w < 0.15, (lb.workloads, want)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs virtual mesh")
+def test_sh_bake_sharded_matches_single_device():
+    """DSHGI probe bake sharded over the mesh (VERDICT r4 ask #6): the
+    probe axis is embarrassingly parallel and seeds are keyed on
+    (probe, sample, grid, frame), so the mesh bake must match the
+    single-device bake exactly (reference analogue: per-device work
+    mapping, src/restir_renderer.cc:84-106). Uses the tiny procedural
+    scene with an SH grid attached so the CPU-mesh run stays fast."""
+    from tauray_tpu.options import parse_command_line_options
+    from tauray_tpu.renderer.rt_renderer import PathTracerRenderer
+    from tauray_tpu.renderer.sh_renderer import SHRenderer
+    from tauray_tpu.scene.sh_grid import SHGrid
+
+    s, arrays, _ = _tiny_scene()
+    opt = parse_command_line_options([
+        "--renderer=dshgi", "--width=16", "--height=16",
+        "--samples-per-probe=8", "--max-ray-depth=2",
+        "--headless=unused", "--filetype=none", "unused.glb"])
+    # attach a 2x2x2 probe grid (like the reference's TR_data volumes)
+    from tauray_tpu.scene.transformable import Transformable
+    ge = s.add("probes")
+    ge.transform = Transformable()
+    ge.sh_grid = SHGrid(resolution=(2, 2, 2), order=2)
+    # any host renderer works: the bake only needs scene tables + tracer
+    host = PathTracerRenderer(opt)
+    host.set_scene(s)
+
+    sh_multi = SHRenderer(opt)
+    assert sh_multi.mesh is not None and sh_multi.mesh.devices.size > 1
+    sh_multi.step(host)
+    multi = [np.asarray(c) for c, _ in sh_multi.grid_payloads()]
+    assert multi, "scene has no SH grids"
+
+    sh_single = SHRenderer(opt)
+    sh_single.mesh = None           # force the single-device bake
+    sh_single.step(host)
+    single = [np.asarray(c) for c, _ in sh_single.grid_payloads()]
+
+    assert len(multi) == len(single)
+    for m, sgl in zip(multi, single):
+        np.testing.assert_allclose(m, sgl, rtol=1e-5, atol=1e-6)
