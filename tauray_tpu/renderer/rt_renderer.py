@@ -33,22 +33,22 @@ import os as _os
 _FUSE_PASS = _os.environ.get("TAURAY_HOST_WAVEFRONT", "0") != "1"
 
 
-@partial(jax.jit, static_argnames=("cfg",))
+@partial(jax.jit, static_argnames=("cfg", "bounce_caps"))
 def _render_pass_fused(cfg: PTConfig, scene, bvh, cam, prev_cam, pix, vp,
-                       previous_samples):
+                       previous_samples, bounce_caps=None):
     return pt_trace_pass(cfg, scene, bvh, cam, prev_cam, pix, vp,
-                         previous_samples)
+                         previous_samples, bounce_caps=bounce_caps)
 
 
 def _render_pass(cfg: PTConfig, scene, bvh, cam, prev_cam, pix, vp,
-                 previous_samples):
+                 previous_samples, bounce_caps=None):
     """Wavefront pass (reference: one vkCmdTraceRays dispatch,
     src/path_tracer_stage.cc)."""
     if _FUSE_PASS:
         return _render_pass_fused(cfg, scene, bvh, cam, prev_cam, pix, vp,
-                                  previous_samples)
+                                  previous_samples, bounce_caps=bounce_caps)
     return pt_trace_pass(cfg, scene, bvh, cam, prev_cam, pix, vp,
-                         previous_samples)
+                         previous_samples, bounce_caps=bounce_caps)
 
 
 class PathTracerRenderer(Renderer):
@@ -254,6 +254,28 @@ class PathTracerRenderer(Renderer):
         pt._WAVE_DUMP = None
         return waves
 
+    def _bounce_cap_schedule(self):
+        """Static per-bounce compaction tiers from the PREVIOUS frame's
+        live counts (already materialized — zero sync). Quantized to
+        {R, R/2, R/4, R/8} with a 1.15 safety margin; correctness never
+        depends on the prediction (lax.cond falls back to full width)."""
+        if (_os.environ.get("TAURAY_COMPACT", "1") != "1"
+                or getattr(self, "_last_live_counts", None) is None):
+            return None
+        R = self.rays_per_call * self.cfg.samples_per_pass
+        counts = np.asarray(self._last_live_counts)
+        caps = [R]  # bounce 0: camera rays, all live
+        for c in counts:
+            need = float(c) * 1.15
+            cap = R
+            for tier in (R // 8, R // 4, R // 2):
+                if need <= tier:
+                    cap = tier
+                    break
+            caps.append(cap)
+        caps = tuple(caps)
+        return None if all(c >= R for c in caps) else caps
+
     def render_device(self):
         cfg = self.cfg
         vps = self.viewports()
@@ -267,6 +289,8 @@ class PathTracerRenderer(Renderer):
         color = None
         gchunks = []
         useful = None
+        bounce_caps = self._bounce_cap_schedule()
+        live_max = None
         for p in range(n_passes):
             prev = jnp.uint32(sample_base + p * self.samples_per_pass)
             chunks = []
@@ -276,8 +300,11 @@ class PathTracerRenderer(Renderer):
                 prev_arr = jnp.full(self.rays_per_call, prev, jnp.uint32)
                 out = _render_pass(cfg, scene, self.bvh, cam,
                                    prev_cam, self._pix[s], self._vp[s],
-                                   prev_arr)
+                                   prev_arr, bounce_caps=bounce_caps)
                 chunks.append(out.color)
+                if out.live_counts is not None and out.live_counts.size:
+                    live_max = out.live_counts if live_max is None \
+                        else jnp.maximum(live_max, out.live_counts)
                 if out.useful_rays is not None:
                     useful = out.useful_rays if useful is None \
                         else useful + out.useful_rays
@@ -296,6 +323,20 @@ class PathTracerRenderer(Renderer):
         self.samples_accumulated = sample_base + self.samples_per_pixel
         self._last_out = out
         self.last_useful_rays = useful  # device scalar or None
+        self._last_live_counts = live_max  # device (max_bounces-1,) i32
+        # dispatched-lane accounting (static — Python ints): camera wave
+        # at full width + each bounce/shadow wave at its tier cap
+        R = self.rays_per_call * cfg.samples_per_pass
+        mb = 2 if cfg.direct_only else cfg.max_bounces
+        lanes = R  # bounce 0 (includes its shadow wave at full width)
+        if cfg.nee.any and mb > 1:
+            lanes += R
+        for b in range(1, mb):
+            cap = R if bounce_caps is None else min(bounce_caps[b], R)
+            lanes += cap
+            if cfg.nee.any and b < mb - 1:
+                lanes += cap
+        self.last_dispatched_lanes = lanes * n_passes * n_chunks
         self._prev_cam = cam
         self.frame_counter += 1
 

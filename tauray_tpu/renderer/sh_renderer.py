@@ -50,8 +50,8 @@ def _bake_grid_impl(cfg, scene, tracer, coord, u_even, nt, fwd, w2l_lin,
     r = jnp.abs(2.0 * sample_blackman_harris(u[:, 2]) - 1.0) ** (1.0 / 3.0)
     loc_off = (ball_dir * r[:, None]) * (2.0 / res3)
     origins = origins + jnp.einsum("ij,rj->ri", fwd, loc_off)
-    diffuse, refl, fh, _ = evaluate_ray(cfg, scene, tracer, seed,
-                                        origins, dirs)
+    diffuse, refl, fh, _, _ = evaluate_ray(cfg, scene, tracer, seed,
+                                           origins, dirs)
     # probe color = modulate_color(mat, diffuse, reflection) with NO
     # first-hit emission term (reference: sh_path_tracer.rgen:95 —
     # unlike path_tracer.rgen's sum_color, coefs add no mat.emission)

@@ -4,7 +4,8 @@ The reference's megakernel bounce loop (reference:
 shader/path_tracer.glsl evaluate_ray, shader/path_tracer.rgen) becomes a
 wavefront over flat ray batches: per bounce, one BVH traversal over all
 rays, vectorized NEE + shadow traversal, vectorized GGX sampling.
-Dead rays are masked, not compacted (compaction is a planned perf pass).
+Dead lanes compact between bounces when few rays remain alive (see
+_run_bounce_capped; tier schedule fed by the previous frame's counts).
 Feature parity:
 
   * NEE over point/directional/tri/envmap lights with weighted selection
@@ -107,6 +108,9 @@ class PTOutput(NamedTuple):
     first_metallic_roughness: jnp.ndarray  # (R, 2)
     first_emission: jnp.ndarray    # (R, 3)
     useful_rays: Optional[jnp.ndarray] = None  # scalar, cfg.count_rays
+    # (max_bounces-1,) i32: alive lanes ENTERING bounce b (b >= 1) — the
+    # feedback signal for the next frame's compaction tier schedule
+    live_counts: Optional[jnp.ndarray] = None
 
 
 def draw_ray_sample(cfg: PTConfig, seed, coord, slot: int):
@@ -797,14 +801,115 @@ def _run_bounce(cfg: PTConfig, scene: DeviceScene, tracer, state, b_idx,
     return state, first, useful
 
 
+# ---------------------------------------------------------------------------
+# Between-bounce dead-lane compaction.
+#
+# Dead lanes cost almost nothing in the traversal kernel (zero t_max =>
+# zero active clusters => the streamed kernel skips them), but every
+# OTHER per-lane cost — phase-1 slab culling, the signature sort, NEE
+# prep, shading gathers and BSDF math — is paid for all R lanes. When
+# few rays remain alive, the whole bounce (trace + NEE + shadow + shade)
+# runs on a COMPACTED prefix instead:
+#
+#   * the path state packs into ONE (R, 37) int32 matrix (floats/uints
+#     ride as bitcast int32 — bit-exact through gathers/scatters, the
+#     same trick as the alpha re-trace rounds above);
+#   * one stable argsort over ~alive moves live rays to the front; the
+#     bounce runs on rows [0:cap); one scatter un-permutes;
+#   * cap is a STATIC tier (R/2, R/4, R/8) chosen by the renderer from
+#     the PREVIOUS frame's live counts (alive is monotone non-increasing
+#     over bounces, and counts are stable across frames at 1M-lane
+#     statistics). EXACTNESS does not depend on the prediction: a
+#     lax.cond falls back to the full-width bounce whenever the actual
+#     live count exceeds the tier, so a mispredicted schedule costs
+#     speed, never correctness.
+# ---------------------------------------------------------------------------
+
+def _state_mat_pack(state, coord):
+    """(state, coord) -> (R, 37) int32 (every column a bitcast int32)."""
+    def asi(x):
+        x = jnp.asarray(x)
+        if x.dtype == jnp.bool_:
+            x = x.astype(jnp.int32)
+        elif x.dtype != jnp.int32:
+            x = jax.lax.bitcast_convert_type(x, jnp.int32)
+        return x if x.ndim == 2 else x[:, None]
+    cols = [asi(x) for x in state] + [asi(coord)]
+    return jnp.concatenate(cols, axis=1)
+
+
+def _state_mat_unpack(mat):
+    """Inverse of _state_mat_pack."""
+    def f32(sl):
+        return jax.lax.bitcast_convert_type(sl, jnp.float32)
+
+    def u32(sl):
+        return jax.lax.bitcast_convert_type(sl, jnp.uint32)
+    state = (
+        u32(mat[:, 0:4]),            # sampler seed
+        u32(mat[:, 4:8]),            # alpha seed
+        f32(mat[:, 8:11]),           # pos
+        f32(mat[:, 11:14]),          # view
+        f32(mat[:, 14:17]),          # attenuation
+        f32(mat[:, 17]),             # bsdf_pdf
+        f32(mat[:, 18]),             # regularization
+        f32(mat[:, 19]), f32(mat[:, 20]),
+        f32(mat[:, 21]), f32(mat[:, 22]),   # primary lobes
+        mat[:, 23] > 0,              # alive
+        f32(mat[:, 24:28]),          # diffuse
+        f32(mat[:, 28:32]),          # reflection
+    )
+    coord = u32(mat[:, 32:36])
+    return state, coord
+
+
+def _run_bounce_capped(cfg: PTConfig, scene: DeviceScene, tracer, state,
+                       b_idx, max_bounces: int, coord, cap: int):
+    """Bounce b_idx (>= 1) at static width `cap` when the live count
+    allows it, else full width. Returns (state, useful)."""
+    alive = state[11]
+    R = alive.shape[0]
+    live = jnp.sum(alive)
+
+    def z(u):
+        return u if u is not None else jnp.int32(0)
+
+    def compact_branch(args):
+        state, coord = args
+        mat = _state_mat_pack(state, coord)
+        perm = jnp.argsort(~alive, stable=True)
+        matp = mat[perm]
+        st_p, coord_p = _state_mat_unpack(matp[:cap])
+        st_o, _, useful = _run_bounce(cfg, scene, tracer, st_p, b_idx,
+                                      False, max_bounces, coord_p)
+        out = _state_mat_pack(st_o, coord_p)
+        matp = jax.lax.dynamic_update_slice(matp, out, (0, 0))
+        mat2 = jnp.zeros_like(matp).at[perm].set(matp)
+        st2, _ = _state_mat_unpack(mat2)
+        return st2, z(useful)
+
+    def full_branch(args):
+        state, coord = args
+        st, _, useful = _run_bounce(cfg, scene, tracer, state, b_idx,
+                                    False, max_bounces, coord)
+        return st, z(useful)
+
+    st, useful = jax.lax.cond(live <= cap, compact_branch, full_branch,
+                              (state, coord))
+    return st, useful if cfg.count_rays else None
+
+
 def evaluate_ray(cfg: PTConfig, scene: DeviceScene, bvh: DeviceBVH,
-                 sampler_seed, pos, view, coord=None):
+                 sampler_seed, pos, view, coord=None, bounce_caps=None):
     """One path per ray (reference: shader/path_tracer.glsl evaluate_ray).
 
     Wavefront orchestration: per bounce, a closest-hit wave, an NEE shadow
     wave, and a shading program — all small, individually-compiled, reused
     programs. Dead-ray early exit via one host sync per bounce.
-    Returns (diffuse (R,4), reflection (R,4), first-hit dict)."""
+    bounce_caps: optional static per-bounce compaction tiers (see
+    _run_bounce_capped); bounce_caps[b] >= R disables for that bounce.
+    Returns (diffuse (R,4), reflection (R,4), first-hit dict, useful,
+    live_counts)."""
     R = pos.shape[0]
     z = jnp.zeros(R, jnp.float32)
     state = (
@@ -827,16 +932,27 @@ def evaluate_ray(cfg: PTConfig, scene: DeviceScene, bvh: DeviceBVH,
 
     state, first, useful = _run_bounce(cfg, scene, bvh, state, 0, True,
                                        max_bounces, coord)
+    live_counts = []
     for b_idx in range(1, max_bounces):
         # no host-side alive check: it would block the async dispatch
-        # pipeline; dead rays are masked inside the programs
-        state, _, u = _run_bounce(cfg, scene, bvh, state, b_idx, False,
-                                  max_bounces, coord)
+        # pipeline; dead lanes are COMPACTED when the renderer's tier
+        # schedule (fed by the previous frame's live counts) says the
+        # bounce fits a smaller static width, masked otherwise
+        live_counts.append(jnp.sum(state[11], dtype=jnp.int32))
+        cap = R if bounce_caps is None else min(int(bounce_caps[b_idx]), R)
+        if cap < R:
+            state, u = _run_bounce_capped(cfg, scene, bvh, state, b_idx,
+                                          max_bounces, coord, cap)
+        else:
+            state, _, u = _run_bounce(cfg, scene, bvh, state, b_idx, False,
+                                      max_bounces, coord)
         if cfg.count_rays:
             useful = useful + u
     diffuse = state[-2]
     reflection = state[-1]
-    return diffuse, reflection, first, useful
+    lc = (jnp.stack(live_counts) if live_counts
+          else jnp.zeros((0,), jnp.int32))
+    return diffuse, reflection, first, useful, lc
 
 
 def evaluate_ray_inline(cfg: PTConfig, scene: DeviceScene, bvh,
@@ -1002,7 +1118,8 @@ def _finalize_sample(cfg: PTConfig, prev_cam: CameraUniforms, vp, diffuse,
 
 def pt_trace_pass(cfg: PTConfig, scene: DeviceScene, bvh: DeviceBVH,
                   cam: CameraUniforms, prev_cam: CameraUniforms,
-                  pix_pos, vp, previous_samples) -> PTOutput:
+                  pix_pos, vp, previous_samples,
+                  bounce_caps=None) -> PTOutput:
     """One pass of `samples_per_pass` samples per pixel, averaged
     (reference: shader/path_tracer.rgen main).
 
@@ -1025,8 +1142,8 @@ def pt_trace_pass(cfg: PTConfig, scene: DeviceScene, bvh: DeviceBVH,
             jnp.tile(jnp.arange(S, dtype=previous_samples.dtype), R)
 
     seed, origin, d, coord = _begin_sample(cfg, cam, pix_b, vp_b, prev_b)
-    diffuse, refl, fh, useful = evaluate_ray(cfg, scene, bvh, seed, origin,
-                                             d, coord)
+    diffuse, refl, fh, useful, live_counts = evaluate_ray(
+        cfg, scene, bvh, seed, origin, d, coord, bounce_caps=bounce_caps)
     color, screen_motion = _finalize_sample(
         cfg, prev_cam, vp_b, diffuse, refl, fh["albedo"], fh["metallic"],
         fh["emission"], fh["vertex_prev_pos"])
@@ -1063,7 +1180,8 @@ def pt_trace_pass(cfg: PTConfig, scene: DeviceScene, bvh: DeviceBVH,
         first_metallic_roughness=jnp.stack(
             [first["metallic"], first["roughness"]], axis=-1),
         first_emission=first["emission"],
-        useful_rays=useful)
+        useful_rays=useful,
+        live_counts=live_counts)
 
 
 def accumulate(new, prev, samples, previous_samples):
